@@ -1,0 +1,169 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/**
+ * Compiles an [[ExtractionSpec]] into pure Catalyst transformations:
+ *
+ *   Dataset[doc] --segment--> Dataset[block] --project--> part columns
+ *
+ * This is the Spark recast of the reference's analyzer
+ * (`Payload.newScraper` + `fields2parts`, scrape/scrape.go:185-261) and
+ * executor (`blockWorker`/`extractField`, scrape.go:442-584). Where the
+ * reference runs 25 block-worker goroutines under a task mutex
+ * (scrape.go:549-558 — the BaseURL mutation forces a lock around every
+ * extract!), this compiler emits only `Column` expressions over
+ * `array<int>`: no closures, no locks, no driver involvement — the
+ * whole extraction stage is embarrassingly parallel and survives any
+ * scale-up by simply adding partitions.
+ *
+ * Scale notes (100 TB): segmentation + extraction are narrow (no
+ * shuffle); the only shuffles in a full pipeline are the dedup/
+ * assembly stages keyed by doc_id, which partition by the key and are
+ * salted for hot sources (see graft.stream).
+ */
+object ExtractCompiler {
+
+  import TokenCodec._
+
+  /** 0-based positions i where arr[i] == token (higher-order filter —
+    * evaluated vectorized per row, stays inside the SQL engine). */
+  private def positionsOf(arr: Column, token: Int): Column =
+    filter(sequence(lit(0), size(arr) - 1), i => element_at(arr, i + 1) === lit(token))
+
+  /**
+   * Segment each document into blocks: explode on RECORD_START.
+   * Analog of DividePageByIntersection (reference scrape/divide.go:45-95)
+   * — there the repeating container is inferred from selector LCA; here
+   * the container boundary is the RECORD_START sentinel, a
+   * spec-compile-time decision (SURVEY §2.3).
+   *
+   * Input: any frame with a `tokens: array<int>` column.
+   * Output: input columns + (block_idx, block_tokens); rows with no
+   * RECORD_START yield a single whole-array block (the `<body>`
+   * fallback, reference structure.go:139-144).
+   */
+  def segment(df: DataFrame, tokensCol: String = "tokens"): DataFrame = {
+    val toks = col(tokensCol)
+    val starts = positionsOf(toks, RECORD_START)
+    val bounds = concat(starts, array(size(toks)))
+    val blocks = when(size(starts) === 0, array(toks)).otherwise(
+      transform(sequence(lit(0), size(starts) - 1), j =>
+        slice(toks, element_at(bounds, j + 1) + 2,
+          element_at(bounds, j + 2) - element_at(bounds, j + 1) - 1)))
+    df.select(col("*"), posexplode(blocks).as(Seq("block_idx", "block_tokens")))
+  }
+
+  /** Split one block into fields: `[tag payload* FIELD_DELIM]*` →
+    * array of field arrays (tag at head, delimiter stripped). */
+  def fieldsOf(block: Column): Column = {
+    val ends = positionsOf(block, FIELD_DELIM)
+    transform(sequence(lit(0), size(ends) - 1), j => {
+      val start = when(j === 0, lit(0)).otherwise(element_at(ends, j) + 1)
+      slice(block, start + 1, element_at(ends, j + 1) - start)
+    })
+  }
+
+  /** Fields matching a selector tag. */
+  def matchedFields(block: Column, tag: Int): Column =
+    filter(fieldsOf(block), f => size(f) > 0 && element_at(f, 1) === lit(tag))
+
+  /** Payloads (tag stripped) of matched fields. */
+  def matchedPayloads(block: Column, tag: Int): Column =
+    transform(matchedFields(block, tag), f => slice(f, lit(2), size(f) - 1))
+
+  private def applyFilters(s: Column, fs: Seq[TextFilter]): Column =
+    fs.foldLeft(s) {
+      case (c, TextFilter.Trim)       => trim(c)
+      case (c, TextFilter.Lower)      => lower(c)
+      case (c, TextFilter.Upper)      => upper(c)
+      case (c, TextFilter.Capitalize) => initcap(c)
+    }
+
+  /** Base-36 decode of a payload to a space-joined string (the "text"
+    * of the field) — matches TokenCodec.decodeToken. `conv` is a
+    * codegen'd Catalyst builtin. */
+  def decodeText(payload: Column): Column =
+    array_join(transform(payload, t => upper(conv(t.cast("string"), 10, 36))), " ")
+
+  /** 0-based start offsets of contiguous subsequence `pattern` in
+    * `payload` — the regex find-all analog (reference
+    * extract/extractors.go:215-231). Pattern is a compile-time literal,
+    * so the match predicate unrolls into plain conjunctions. */
+  def patternPositions(payload: Column, pattern: Seq[Int]): Column = {
+    require(pattern.nonEmpty, "empty token pattern")
+    // guard: payload shorter than pattern → sequence() would descend
+    // through index 0; emit an empty match list instead
+    when(size(payload) < lit(pattern.length), array().cast("array<int>"))
+      .otherwise(
+        filter(sequence(lit(0), size(payload) - lit(pattern.length)), i =>
+          pattern.zipWithIndex.map { case (p, k) =>
+            element_at(payload, i + k + 1) === lit(p)
+          }.reduce(_ && _)))
+  }
+
+  /** One compiled part = Field×Type (reference Part, structure.go:113-126).
+    * All extractors keep list form internally; scalar/list collapse
+    * happens only at the encoder boundary (SURVEY §7.4) because a Spark
+    * column cannot change type per row. Nil-omission: zero matches →
+    * null unless includeIfEmpty. */
+  def partColumn(block: Column, f: FieldSpec, tpe: ExtractorType): Option[Column] = {
+    val matched = matchedFields(block, f.selector)
+    val payloads = matchedPayloads(block, f.selector)
+    val nilGuard: Column => Column = c =>
+      if (f.includeIfEmpty) c else when(size(matched) > 0, c)
+    val colName = s"${f.name}_${tpe.name}"
+    tpe match {
+      case ExtractorType.Text =>
+        Some(nilGuard(transform(payloads, p => applyFilters(decodeText(p), f.filters)))
+          .as(colName))
+      case ExtractorType.Tokens =>
+        Some(nilGuard(payloads).as(colName))
+      case ExtractorType.Count =>
+        // reference Count: 0 matches → nil unless IncludeIfEmpty
+        // (extractors.go:313-331)
+        Some(nilGuard(size(matched)).as(colName))
+      case ExtractorType.Const(v) =>
+        Some(lit(v).as(colName))
+      case ExtractorType.TokenPattern(p) =>
+        Some(nilGuard(flatten(transform(payloads, pl => patternPositions(pl, p))))
+          .as(colName))
+      case ExtractorType.Path =>
+        // join-key projection: decoded payloads become child doc_ids;
+        // emitted under a reserved name, dropped from user output
+        // (reference scrape.go:569-571)
+        Some(nilGuard(transform(payloads, p => decodeText(p))).as(s"__path_${f.name}"))
+      case ExtractorType.Unknown(n) =>
+        // skipped with a log, scrape continues (scrape.go:317-319)
+        System.err.println(s"[graft] unknown extractor type '$n' for field '${f.name}' — skipped")
+        None
+    }
+  }
+
+  /**
+   * Full compile: documents frame → one row per block with part
+   * columns named `<field>_<type>` plus ordering columns
+   * (doc_id, page_idx?, block_idx) — the reference's
+   * `uid-pageNum-blockNum` key (scrape/scrape.go:448-457) carried as
+   * data, restored by sort at the sink instead of a KV key map.
+   */
+  def compile(docs: DataFrame, spec: ExtractionSpec): DataFrame = {
+    SpecValidator.validate(spec)
+    val blocks = segment(docs)
+    val b = col("block_tokens")
+    // fields2parts cross product (scrape.go:220-261); in IsPath mode
+    // only path fields are compiled (scrape.go:223-226)
+    val parts: Seq[Column] = for {
+      f <- spec.fields
+      if !spec.isPath || f.types.contains(ExtractorType.Path) || f.details.nonEmpty
+      t <- f.types
+      c <- partColumn(b, f, t)
+    } yield c
+    if (parts.isEmpty) throw new SpecException("no parts found")
+    val carry = docs.columns.filter(_ != "tokens").map(col) :+ col("block_idx")
+    blocks.select(carry ++ parts: _*)
+  }
+
+}

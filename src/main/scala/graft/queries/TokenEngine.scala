@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.TokenGen
+import graft.extract.ExtractCompiler
+import graft.model._
+
+/**
+ * Token-domain engine queries — the north-star pipeline run in batch
+ * form over the deterministically synthesized tokenized-sequence table
+ * (FIXTURES §1; seed=42, no external data). These have no DuckDB
+ * oracle (the table lives nowhere DuckDB can see) — correctness is
+ * enforced by the straight-line Scala oracle in the test suite
+ * (graft.OracleSpec) per SURVEY §5; the driver records rows>0.
+ *
+ * Row counts scale with the sf dir so Bench exercises real volume:
+ * sf0.001→2k docs, sf0.01→20k, sf0.1→200k.
+ */
+object TokenEngine {
+
+  /** Docs scaled to the sf directory (deterministic, seeded). */
+  def docsFor(spark: SparkSession, dir: String): DataFrame = {
+    val n = scaleOf(dir) match {
+      case s if s >= 0.1  => 200000L
+      case s if s >= 0.01 => 20000L
+      case _              => 2000L
+    }
+    TokenGen.table(spark, n)
+  }
+
+  def scaleOf(dir: String): Double =
+    "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+
+  /** The flagship spec (port of the persons_cards payload shape,
+    * reference scrape/scrape_test.go:35-68): two fields × several
+    * extractor types including an unknown type that must be skipped
+    * and a const param. */
+  val flagshipSpec: ExtractionSpec = ExtractionSpec(
+    name = "persons_cards",
+    fields = Seq(
+      FieldSpec("Names", selector = 3,
+        types = Seq(ExtractorType.Text, ExtractorType.Tokens, ExtractorType.Count,
+          ExtractorType.Const("card"), ExtractorType.Unknown("unknownSelectorType")),
+        filters = Seq(TextFilter.Lower)),
+      FieldSpec("Images", selector = 4,
+        types = Seq(ExtractorType.Text, ExtractorType.Count),
+        filters = Seq(TextFilter.Trim, TextFilter.Capitalize))))
+
+  /** Flagship extraction: scan → segment (explode blocks) → Catalyst
+    * part columns. Narrow plan — zero shuffles end to end. */
+  def extractFlat(spark: SparkSession, dir: String): DataFrame =
+    ExtractCompiler.compile(docsFor(spark, dir), flagshipSpec)
+      .orderBy(col("doc_id"), col("block_idx"))
+
+  /** Consistency predicate from input_hint: size(tokens) = n_tok, and
+    * per-source document stats (the per-source extraction-count
+    * aggregate of north_star, batch form). */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    docsFor(spark, dir)
+      .filter(size(col("tokens")) === col("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        max(col("n_tok")).as("max_tokens"))
+      .orderBy(col("source"))
+
+  /** Token-pattern find-all (the regex analog, P3) — positions of a
+    * 2-token subsequence within Names payloads. */
+  def tokenPattern(spark: SparkSession, dir: String): DataFrame = {
+    val spec = ExtractionSpec("pattern_scan", Seq(
+      FieldSpec("Names", selector = 3,
+        types = Seq(ExtractorType.TokenPattern(Seq(100, 101)), ExtractorType.Count),
+        includeIfEmpty = true)))
+    ExtractCompiler.compile(docsFor(spark, dir), spec)
+      .filter(size(col("Names_pattern")) > 0)
+      .orderBy(col("doc_id"), col("block_idx"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types._
+
+/**
+ * Sink-boundary record encoders — the analog of the reference's
+ * JSON/CSV encoders (reference scrape/encoders.go:60-118 JSON,
+ * 253-378 CSV). This is where the engine's always-array internal
+ * representation collapses back to the reference's dynamic semantics
+ * (SURVEY §1.2):
+ *
+ *  - exactly one element → scalar (extract/extractors.go:81-85)
+ *  - several elements   → list
+ *  - null (no match)    → key omitted from the record entirely
+ *    (nil-omission, extractors.go:77-79)
+ *
+ * Runs per-row at the sink only (like the reference's encoders, which
+ * stream blocks out of the KV store) — the hot extraction path stays
+ * pure Catalyst. Column order is spec order (the CSV header contract,
+ * scrape.go:490-496); JSON keys are emitted in schema order for
+ * deterministic goldens (the reference's XML encoder suffers Go map
+ * nondeterminism, scrape_test.go:372-373 — we fix that).
+ */
+object RecordEncoder {
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def jsonValue(v: Any, dt: DataType): String = (v, dt) match {
+    case (null, _)                  => "null"
+    case (s: String, _)             => "\"" + esc(s) + "\""
+    case (b: Boolean, _)            => b.toString
+    case (n: java.lang.Number, _)   => n.toString
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      if (seq.length == 1) jsonValue(seq.head, et) // scalar collapse
+      else seq.map(jsonValue(_, et)).mkString("[", ",", "]")
+    case (r: Row, st: StructType) =>
+      st.fields.zipWithIndex.map { case (f, i) =>
+        "\"" + esc(f.name) + "\":" + jsonValue(r.get(i), f.dataType)
+      }.mkString("{", ",", "}")
+    case (other, _) => "\"" + esc(String.valueOf(other)) + "\""
+  }
+
+  /** Array values keep full list form here (no collapse) — used for
+    * the verbatim-tokens golden where token-array equality is the
+    * invariant. */
+  private def jsonValueNoCollapse(v: Any, dt: DataType): String = (v, dt) match {
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      seq.map(jsonValueNoCollapse(_, et)).mkString("[", ",", "]")
+    case _ => jsonValue(v, dt)
+  }
+
+  /** One JSON object per row; null fields omitted; single-element
+    * arrays collapsed to scalars. */
+  def toJsonRecords(df: DataFrame, collapse: Boolean = true): Dataset[String] = {
+    val schema = df.schema
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    df.map { row =>
+      schema.fields.zipWithIndex.flatMap { case (f, i) =>
+        val v = row.get(i)
+        if (v == null) None // nil-omission
+        else Some("\"" + esc(f.name) + "\":" +
+          (if (collapse) jsonValue(v, f.dataType) else jsonValueNoCollapse(v, f.dataType)))
+      }.mkString("{", ",", "}")
+    }
+  }
+
+  /** CSV encoding per reference encoders.go:305-330: scalars verbatim,
+    * arrays `;`-joined, null → empty cell; header = column order. */
+  def toCsvLines(df: DataFrame): Dataset[String] = {
+    val schema = df.schema
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    def cell(v: Any): String = v match {
+      case null                          => ""
+      case seq: scala.collection.Seq[_]  => seq.map(cell).mkString(";")
+      case other                         => String.valueOf(other)
+    }
+    df.map { row =>
+      schema.fields.indices.map(i => cell(row.get(i))).mkString(",")
+    }
+  }
+
+  def csvHeader(df: DataFrame): String = df.columns.mkString(",")
+}
