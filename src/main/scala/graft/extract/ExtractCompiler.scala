@@ -29,9 +29,12 @@ object ExtractCompiler {
   import TokenCodec._
 
   /** 0-based positions i where arr[i] == token (higher-order filter —
-    * evaluated vectorized per row, stays inside the SQL engine). */
+    * evaluated vectorized per row, stays inside the SQL engine).
+    * Empty-array guard: `sequence(0, -1)` is DESCENDING `[0, -1]` in
+    * Spark, which would index past an empty array. */
   private def positionsOf(arr: Column, token: Int): Column =
-    filter(sequence(lit(0), size(arr) - 1), i => element_at(arr, i + 1) === lit(token))
+    when(size(arr) <= 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), size(arr) - 1), i => element_at(arr, i + 1) === lit(token)))
 
   /**
    * Segment each document into blocks: explode on RECORD_START.
@@ -60,10 +63,11 @@ object ExtractCompiler {
     * array of field arrays (tag at head, delimiter stripped). */
   def fieldsOf(block: Column): Column = {
     val ends = positionsOf(block, FIELD_DELIM)
-    transform(sequence(lit(0), size(ends) - 1), j => {
-      val start = when(j === 0, lit(0)).otherwise(element_at(ends, j) + 1)
-      slice(block, start + 1, element_at(ends, j + 1) - start)
-    })
+    when(size(ends) <= 0, array().cast("array<array<int>>")).otherwise(
+      transform(sequence(lit(0), size(ends) - 1), j => {
+        val start = when(j === 0, lit(0)).otherwise(element_at(ends, j) + 1)
+        slice(block, start + 1, element_at(ends, j + 1) - start)
+      }))
   }
 
   /** Fields matching a selector tag. */

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A row released by the politeness pacer: the original identity plus
+  * the deterministic scheduled release time. */
+final case class PacedRow(
+    doc_id: String,
+    source: String,
+    event_time: Timestamp,
+    scheduled_time: Timestamp,
+    queue_depth: Int)
+
+final case class PaceState(lastScheduledMs: Long)
+
+/**
+ * Per-source politeness pacing — the recast of the reference's
+ * same-domain fetch delay (reference scrape/scrape.go:699-718: each
+ * fetch worker sleeps `FetchDelay × rand[0.5,1.5)` between requests to
+ * the same domain; delay default 500 ms, cmd/parse.d/root.go:128-129).
+ *
+ * Wall-clock sleeps and randomness are non-deterministic and
+ * non-resumable, so the recast models pacing as **event-time
+ * scheduling in keyed state**: rows shuffle to their `source`
+ * partition, are ordered by (event_time, doc_id), and each receives
+ * `scheduled_time = max(event_time, prev_scheduled + delay)`. The
+ * schedule is a pure function of the input stream, so it survives
+ * checkpoint restart and replays identically (north_star: "per-host
+ * politeness delays become flatMapGroupsWithState keyed by
+ * doc_id/source with event-time watermarks").
+ *
+ * Skew note (the whole reason this operator is keyed by source): the
+ * Zipf-hot source concentrates rows on one state partition. The
+ * pacer's per-row work is O(1) and state is O(1) per source, so the
+ * hot key costs only its row volume — but if a downstream stage
+ * inherited this partitioning it would bottleneck; downstream stages
+ * therefore repartition by their own keys (doc_id) or salt
+ * (`pmod(hash(doc_id), N)`), per SURVEY §4.
+ */
+object Pacing {
+
+  def update(delayMs: Long)(
+      source: String,
+      rows: Iterator[(String, String, Timestamp)],
+      state: GroupState[PaceState]): Iterator[PacedRow] = {
+    val buf = rows.toVector.sortBy(r => (r._3.getTime, r._1))
+    var last = state.getOption.map(_.lastScheduledMs).getOrElse(Long.MinValue)
+    val out = buf.zipWithIndex.map { case ((docId, src, et), i) =>
+      val sched = math.max(et.getTime, if (last == Long.MinValue) et.getTime else last + delayMs)
+      last = sched
+      PacedRow(docId, src, et, new Timestamp(sched), i)
+    }
+    state.update(PaceState(last))
+    out.iterator
+  }
+
+  /** Pace `(doc_id, source, event_time)` rows per source key. */
+  def pace(
+      rows: Dataset[(String, String, Timestamp)],
+      delayMs: Long = 500L,
+      watermarkDelay: String = "10 minutes"): Dataset[PacedRow] = {
+    implicit val outEnc = Encoders.product[PacedRow]
+    implicit val stateEnc = Encoders.product[PaceState]
+    rows
+      .withWatermark("_3", watermarkDelay)
+      .groupByKey(_._2)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update(delayMs))
+  }
+}

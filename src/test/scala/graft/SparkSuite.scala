@@ -21,4 +21,5 @@ object SparkSuite {
 
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.spark
+  implicit lazy val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
 }

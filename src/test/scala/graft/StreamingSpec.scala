@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.gen.{Fragment, TokenGen}
+import graft.model._
+import graft.queries.TokenEngine
+import graft.sink.ResultTable
+import graft.streaming._
+
+/** Streaming-behavior fixtures per FIXTURES.md §4: dedup, session
+  * stitching, late-drop, exactly-once replay, kill-and-resume. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(TokenGen.BASE_EPOCH_MS + s * 1000L)
+
+  private def frag(doc: String, page: Int, toks: Array[Int], sec: Long, src: String = "s1") =
+    Fragment(doc, toks, toks.length, src, ts(sec), page, page, is_dup = false, is_late = false)
+
+  /** Tiny two-block doc split into two fragments. */
+  private val d1p0 = Array(2, 3, 100, 1)
+  private val d1p1 = Array(2, 3, 200, 201, 1)
+  private val d2 = Array(2, 3, 300, 1, 4, 400, 1)
+
+  private val spec = ExtractionSpec("s", Seq(
+    FieldSpec("Names", 3, Seq(ExtractorType.Text, ExtractorType.Tokens, ExtractorType.Count)),
+    FieldSpec("Images", 4, Seq(ExtractorType.Count))))
+
+  test("stitch: out-of-order fragments + duplicates assemble in page order; session closes on watermark") {
+    val mem = MemoryStream[Fragment]
+    val out = Stitch.stitch(mem.toDS(), watermarkDelay = "5 seconds", gapMs = 10000L)
+    val q = out.writeStream.format("memory").queryName("stitch_t").outputMode("append").start()
+    try {
+      // batch 1: d1 page1 BEFORE page0 (out of order), d2 whole, plus a dup of d2
+      mem.addData(frag("d1", 1, d1p1, 10), frag("d2", 0, d2, 11), frag("d2", 0, d2, 12))
+      q.processAllAvailable()
+      // batch 2: d1 page0 arrives late-but-within-watermark
+      mem.addData(frag("d1", 0, d1p0, 13))
+      q.processAllAvailable()
+      assert(spark.table("stitch_t").count() == 0, "sessions must stay open before gap passes")
+      // flush: advance watermark way past maxEvent+gap, twice (second
+      // batch fires the timers registered after the first)
+      mem.addData(frag("~flush", 0, Array(2), 1000))
+      q.processAllAvailable()
+      mem.addData(frag("~flush2", 0, Array(2), 2000))
+      q.processAllAvailable()
+      val rows = spark.table("stitch_t").filter(!col("doc_id").startsWith("~"))
+        .orderBy("doc_id").collect()
+      assert(rows.length == 2, s"got ${rows.length} docs")
+      val r1 = rows(0)
+      assert(r1.getAs[String]("doc_id") == "d1")
+      assert(r1.getAs[scala.collection.Seq[Int]]("tokens") == (d1p0 ++ d1p1).toSeq, "page-order token equality")
+      assert(r1.getAs[Int]("n_frags") == 2)
+      val r2 = rows(1)
+      assert(r2.getAs[scala.collection.Seq[Int]]("tokens") == d2.toSeq, "dup fragment collapsed")
+      assert(r2.getAs[Int]("n_frags") == 1)
+    } finally q.stop()
+  }
+
+  test("late fragment beyond watermark is dropped and counted") {
+    val mem = MemoryStream[Fragment]
+    val out = Stitch.stitch(mem.toDS(), watermarkDelay = "5 seconds", gapMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("late_t").outputMode("append").start()
+    try {
+      mem.addData(frag("a", 0, d2, 100))
+      q.processAllAvailable() // watermark -> 95s
+      mem.addData(frag("zlate", 0, d1p0, 10)) // 90s behind: beyond watermark
+      q.processAllAvailable()
+      mem.addData(frag("~flush", 0, Array(2), 1000))
+      q.processAllAvailable()
+      mem.addData(frag("~flush2", 0, Array(2), 2000))
+      q.processAllAvailable()
+      val docs = spark.table("late_t").select("doc_id").as[String].collect().toSet
+      assert(docs.contains("a"))
+      assert(!docs.contains("zlate"), "late fragment must be dropped")
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, s"late drop must be counted in metrics, got $dropped")
+    } finally q.stop()
+  }
+
+  test("politeness pacing: deterministic per-source schedule with min spacing") {
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val out = Pacing.pace(mem.toDS(), delayMs = 500L)
+    val q = out.writeStream.format("memory").queryName("pace_t").outputMode("append").start()
+    try {
+      // burst of 4 rows on one source at the same event time + 1 on another
+      mem.addData(
+        ("d1", "hot", ts(0)), ("d2", "hot", ts(0)), ("d3", "hot", ts(0)),
+        ("d4", "hot", ts(2)), ("e1", "cold", ts(0)))
+      q.processAllAvailable()
+      val rows = spark.table("pace_t").orderBy("scheduled_time", "doc_id")
+        .as[PacedRow].collect()
+      val hot = rows.filter(_.source == "hot").map(_.scheduled_time.getTime)
+      assert(hot.toSeq == Seq(0L, 500L, 1000L, 2000L).map(TokenGen.BASE_EPOCH_MS + _),
+        s"hot schedule: ${hot.toSeq}")
+      val cold = rows.filter(_.source == "cold")
+      assert(cold.head.scheduled_time == ts(0), "cold source unthrottled")
+      // next batch continues from persisted state
+      mem.addData(("d5", "hot", ts(2)))
+      q.processAllAvailable()
+      val d5 = spark.table("pace_t").filter($"doc_id" === "d5").as[PacedRow].head()
+      assert(d5.scheduled_time.getTime == TokenGen.BASE_EPOCH_MS + 2500L,
+        "spacing enforced across batches via state")
+    } finally q.stop()
+  }
+
+  test("tumbling/sliding/session window aggregates over a doc stream") {
+    val mem = MemoryStream[AssembledDoc]
+    val agg = WindowAggs.tumblingStream(mem.toDF(), "10 seconds", "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("win_t").outputMode("append").start()
+    try {
+      mem.addData(
+        AssembledDoc("a", Array(1), 1, "s1", ts(1), 1),
+        AssembledDoc("b", Array(1, 2), 2, "s1", ts(3), 1),
+        AssembledDoc("c", Array(1), 1, "s2", ts(12), 1))
+      q.processAllAvailable()
+      mem.addData(AssembledDoc("~f", Array(1), 1, "s3", ts(100), 1))
+      q.processAllAvailable()
+      mem.addData(AssembledDoc("~f2", Array(1), 1, "s3", ts(200), 1))
+      q.processAllAvailable()
+      val rows = spark.table("win_t").orderBy("w_start", "source").collect()
+      assert(rows.exists(r => r.getAs[String]("source") == "s1" &&
+        r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("total_tokens") == 3))
+      assert(rows.exists(r => r.getAs[String]("source") == "s2" &&
+        r.getAs[Long]("n_docs") == 1))
+    } finally q.stop()
+  }
+
+  test("exactly-once sink: replayed batch id is a no-op; lineage columns present") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val table = new ResultTable(dir)
+    val df = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    table.appendBatch("q1")(df, 0L)
+    val n1 = table.read(spark).count()
+    table.appendBatch("q1")(df, 0L) // replay — must not duplicate
+    table.appendBatch("q1")(df.filter($"k" === "a"), 1L)
+    val r = table.read(spark)
+    assert(n1 == 2 && r.count() == 3, s"replay added rows: ${r.count()}")
+    assert(r.columns.contains("_batch_id") && r.columns.contains("_part_id"))
+    assert(r.filter($"_batch_id" === 1L).count() == 1)
+  }
+
+  test("end-to-end kill-and-resume from checkpoint: no dupes, no loss, token-array equality") {
+    val base = Files.createTempDirectory("graft-e2e")
+    val inDir = base.resolve("in").toString
+    val ckDir = base.resolve("ck").toString
+    val table = new ResultTable(base.resolve("table").toString)
+
+    // deterministic fragment corpus, no late rows (oracle exactness)
+    val all = TokenGen.fragments(spark, 60).filter(!_.is_late).cache()
+    val flushA = Seq(frag("~flushA", 0, Array(2), 100000))
+    val flushB = Seq(frag("~flushB", 0, Array(2), 200000))
+
+    // watermark/gap wider than the generator's +30s duplicate offset so
+    // dups are always deduped (not re-opened sessions); flush at
+    // +100000s closes everything
+    def launch() = StreamJob.run(
+      StreamJob.fileSource(spark, s"$inDir/*", maxFilesPerTrigger = 2),
+      spec, table, ckDir, "e2e",
+      watermarkDelay = "10 minutes", sessionGapMs = 60000L,
+      trigger = Trigger.AvailableNow())
+
+    // phase 1: first half of the docs
+    all.filter($"doc_id" < lit("src-003")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/p1")
+    val q1 = launch(); q1.awaitTermination(120000)
+    // phase 2 ("restart after kill"): rest of the docs
+    all.filter($"doc_id" >= lit("src-003")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$inDir/p2")
+    val q2 = launch(); q2.awaitTermination(120000)
+    // phases 3+4: flush rows arrive strictly AFTER all real fragments
+    // are checkpointed (separate runs — the file source gives no
+    // intra-run file-order guarantee, and a flush processed before a
+    // real fragment would legitimately watermark-drop it). flushA's run
+    // advances the watermark past every session timer; flushB's run
+    // then fires them all in its first batch.
+    flushA.toDS().coalesce(1).write.mode("overwrite").parquet(s"$inDir/p3")
+    val q3 = launch(); q3.awaitTermination(120000)
+    flushB.toDS().coalesce(1).write.mode("overwrite").parquet(s"$inDir/p4")
+    val q4 = launch(); q4.awaitTermination(120000)
+    // one more restart with nothing new: must be a pure no-op (replay safety)
+    val q5 = launch(); q5.awaitTermination(120000)
+
+    val got = table.read(spark).filter(!$"doc_id".startsWith("~"))
+      .drop("_batch_id", "_part_id")
+      .orderBy("doc_id", "block_idx")
+    val exp = StreamJob.batchOracle(spark, all, spec)
+      .orderBy("doc_id", "block_idx")
+    val gotRows = got.select(exp.columns.map(col).toSeq: _*).collect()
+    val expRows = exp.collect()
+    assert(gotRows.length == expRows.length,
+      s"row count: got ${gotRows.length} exp ${expRows.length}")
+    gotRows.zip(expRows).foreach { case (g, e) =>
+      assert(g.toString == e.toString, s"mismatch:\n  got=$g\n  exp=$e")
+    }
+  }
+}
