@@ -29,6 +29,10 @@ object SparkEntry {
     "q_set_ops" -> (Relational.qSetOps _),
     "q_string_funcs" -> (Relational.qStringFuncs _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_tumbling" -> (Relational.qTumbling _),
+    "q_sliding" -> (Relational.qSliding _),
+    "q_session" -> (Relational.qSessionWindow _),
+    "q_distinct" -> (Relational.qDistinct _),
     // token-domain engine (north_star pipeline, batch form) — Scala-oracle-checked
     "extract_flat" -> (TokenEngine.extractFlat _),
     "source_stats" -> (TokenEngine.sourceStats _),
@@ -106,6 +110,36 @@ object SparkEntry {
         |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_tumbling" ->
+      """SELECT CAST(FLOOR(EPOCH(ts)/3600)*3600000 AS BIGINT) AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding" ->
+      """SELECT CAST(FLOOR(EPOCH(ts)/1800)*1800000 - k.k AS BIGINT) AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events CROSS JOIN (VALUES (0), (1800000)) k(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |           OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, EPOCH_MS(MIN(ts)) AS sess_start,
+        |  EPOCH_MS(MAX(ts)) + 1800000 AS sess_end, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM sessions GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -112,10 +112,12 @@ object ExtractCompiler {
     * All extractors keep list form internally; scalar/list collapse
     * happens only at the encoder boundary (SURVEY §7.4) because a Spark
     * column cannot change type per row. Nil-omission: zero matches →
-    * null unless includeIfEmpty. */
-  def partColumn(block: Column, f: FieldSpec, tpe: ExtractorType): Option[Column] = {
-    val matched = matchedFields(block, f.selector)
-    val payloads = matchedPayloads(block, f.selector)
+    * null unless includeIfEmpty.
+    *
+    * `matched`/`payloads` are references to per-tag columns
+    * materialized once in [[compile]] — passing the raw expressions
+    * here would re-evaluate the whole field-split chain per part. */
+  def partColumn(matched: Column, payloads: Column, f: FieldSpec, tpe: ExtractorType): Option[Column] = {
     val nilGuard: Column => Column = c =>
       if (f.includeIfEmpty) c else when(size(matched) > 0, c)
     val colName = s"${f.name}_${tpe.name}"
@@ -156,18 +158,36 @@ object ExtractCompiler {
   def compile(docs: DataFrame, spec: ExtractionSpec): DataFrame = {
     SpecValidator.validate(spec)
     val blocks = segment(docs)
-    val b = col("block_tokens")
     // fields2parts cross product (scrape.go:220-261); in IsPath mode
     // only path fields are compiled (scrape.go:223-226)
+    val compiled = spec.fields.filter(f =>
+      !spec.isPath || f.types.contains(ExtractorType.Path) || f.details.nonEmpty)
+
+    // Materialize shared subexpressions as real columns, each its own
+    // projection step: the field split once per block, then matched
+    // fields + payloads once per distinct selector tag. CollapseProject
+    // keeps these boundaries (it refuses to inline a non-cheap
+    // expression referenced more than once), so each is evaluated one
+    // time per row instead of once per part column — the higher-order
+    // array functions here are interpreted, not codegen'd, and
+    // re-evaluating them per Field×Type dominated the extraction cost.
+    val withFields = blocks.withColumn("__fields", fieldsOf(col("block_tokens")))
+    val tags = compiled.map(_.selector).distinct
+    val withTags = tags.foldLeft(withFields) { (df, tag) =>
+      df.withColumn(s"__m_$tag",
+          filter(col("__fields"), f => size(f) > 0 && element_at(f, 1) === lit(tag)))
+        .withColumn(s"__p_$tag",
+          transform(col(s"__m_$tag"), f => slice(f, lit(2), size(f) - 1)))
+    }
+
     val parts: Seq[Column] = for {
-      f <- spec.fields
-      if !spec.isPath || f.types.contains(ExtractorType.Path) || f.details.nonEmpty
+      f <- compiled
       t <- f.types
-      c <- partColumn(b, f, t)
+      c <- partColumn(col(s"__m_${f.selector}"), col(s"__p_${f.selector}"), f, t)
     } yield c
     if (parts.isEmpty) throw new SpecException("no parts found")
     val carry = docs.columns.filter(_ != "tokens").map(col) :+ col("block_idx")
-    blocks.select(carry ++ parts: _*)
+    withTags.select(carry ++ parts: _*)
   }
 
 }

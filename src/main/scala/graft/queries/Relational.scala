@@ -132,6 +132,56 @@ object Relational {
         length(col("p_name")).cast("int").as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** Tumbling event-time window (SURVEY §2.6 W4 / §2.5 A4, batch form —
+    * identical plan to WindowAggs.tumblingStream minus the watermark).
+    * Window bounds exported as epoch millis so the DuckDB oracle
+    * compares integers, not timezone-bound timestamps. */
+  def qTumbling(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ -> UTC session time
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(unix_millis(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Sliding window, 1 h length / 30 min slide — each event lands in
+    * two windows. */
+  def qSliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ -> UTC session time
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(unix_millis(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Session window per user with 30 min inactivity gap (W4; the
+    * declarative sibling of the stateful Stitch sessions). Session end
+    * = last event + gap, per Spark session_window semantics — the
+    * oracle reproduces that as max(ts) + interval. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("sess_start"),
+        unix_millis(col("w.end")).as("sess_end"), col("n"), col("total_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  /** Exact distinct counts (SURVEY §2.5 A5 — frontier dedup statistics,
+    * exact path; the approximate path is approx_count_distinct, tested
+    * rows-only since HLL outputs are engine-specific). */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   /** Grouping-sets style report via rollup (SURVEY §2.5 note). */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
