@@ -36,7 +36,24 @@ object SparkEntry {
     // token-domain engine (north_star pipeline, batch form) — Scala-oracle-checked
     "extract_flat" -> (TokenEngine.extractFlat _),
     "source_stats" -> (TokenEngine.sourceStats _),
-    "token_pattern" -> (TokenEngine.tokenPattern _)
+    "token_pattern" -> (TokenEngine.tokenPattern _),
+    "details_join" -> (TokenEngine.detailsJoin _),
+    // training-data pipeline (dedup / similarity / text analysis /
+    // multimodal) — SQL-expressible ones DuckDB-checked, LSH/winnow/
+    // multimodal rows-only + PipelineSpec
+    "exact_dedup" -> (Pipeline.exactDedup _),
+    "jaccard_pairs" -> (Pipeline.jaccardPairs _),
+    "minhash_lsh" -> (Pipeline.minhashLsh _),
+    "simhash_pairs" -> (Pipeline.simhashPairs _),
+    "embed_neardup" -> (Pipeline.embedNearDup _),
+    "ann_topk" -> (Pipeline.annTopK _),
+    "ann_lsh" -> (Pipeline.annLsh _),
+    "token_counts" -> (Pipeline.tokenCounts _),
+    "quality_score" -> (Pipeline.quality _),
+    "lang_id" -> (Pipeline.langId _),
+    "fingerprint" -> (Pipeline.fingerprintMd5 _),
+    "fingerprint_winnow" -> (Pipeline.fingerprintWinnow _),
+    "multimodal_stats" -> (Pipeline.multimodalStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,6 +157,74 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "exact_dedup" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
+    "jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2
+        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+    "embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q.q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.qv, c.embedding) AS cos
+        |  FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id),
+        |r AS (SELECT q_id, n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_words,
+        |  CAST(length(text) AS DOUBLE)/len(string_split(text,' ')) AS mean_tok_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    w -> w IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  CASE WHEN len(string_split(text,' ')) < 5 THEN 'too_short'
+        |       WHEN len(list_filter(string_split(text,' '),
+        |         w -> w IN ('the','a','and','of','to','in','is','it'))) = 0 THEN 'no_stopwords'
+        |       ELSE 'keep' END AS quality_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH sc AS (SELECT doc_id, lang AS labeled_lang,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','das','nicht','ein','ich','ist'))) AS score_de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','and','of','to','in','is','it'))) AS score_en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','y','en','un','es'))) AS score_es,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','les','des','une','est'))) AS score_fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('的','是','不','了','在','人','有','我'))) AS score_zh
+        | FROM documents)
+        |SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr, score_zh,
+        |  CASE WHEN g = 0 THEN 'und'
+        |       WHEN score_de = g THEN 'de' WHEN score_en = g THEN 'en'
+        |       WHEN score_es = g THEN 'es' WHEN score_fr = g THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS g FROM sc)
+        |ORDER BY doc_id""".stripMargin,
+    "fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS md5_fp, length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

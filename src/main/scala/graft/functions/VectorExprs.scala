@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static kernels shared by interpreted eval and generated code. The
+ * custom expressions (org.apache.spark.sql.graft.GraftExpressions)
+ * emit a single static call from `doGenCode`, so they stay inside
+ * whole-stage codegen (no CodegenFallback, no interpreted HOF chain)
+ * — the "custom Catalyst `Expression` beats a Scala UDF" path of
+ * SURVEY §7.3 for the two genuinely hot scalar kernels of the
+ * training-data pipeline (similarity search and simhash dedup).
+ */
+object VectorKernels {
+
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * 0.0 for zero-norm inputs (instead of NaN) so thresholds compose. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i).toDouble * y(i); na += x(i).toDouble * x(i); nb += y(i).toDouble * y(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def asDoubles(a: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val f = a.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i); i += 1 }
+      d
+    } else a.toDoubleArray()
+
+  /** Mixed element types (e.g. float corpus vs double literal
+    * hyperplane): widen both to double. */
+  def cosineM(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val x = asDoubles(a, aFloat)
+    val y = asDoubles(b, bFloat)
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — deterministic across JVMs /
+    * engines (same recipe as the generator's doc hash). */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — FNV-1a alone has weak avalanche on short
+    * inputs (single-char words hash to values differing only in low
+    * bits, which correlates simhash signatures); the finalizer
+    * restores full bit diffusion. */
+  def mix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** 64-bit SimHash over an array of words: each word hashed with
+    * FNV-1a + finalizer; bit i of the result is 1 iff the sum of
+    * (±1 per word, + when the word's hash has bit i set) is > 0.
+    * One pass, no allocation beyond the counter array. */
+  def simhash64(words: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val n = words.numElements()
+    var w = 0
+    while (w < n) {
+      if (!words.isNullAt(w)) {
+        val h = mix64(fnv1a64(words.getUTF8String(w)))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+          i += 1
+        }
+      }
+      w += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counters(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+}
+
+/** Column-API entry points (implemented in the sql package bridge). */
+object VectorExprs {
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.cosineSim(a, b)
+  def simhash64(words: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.simhash64(words)
+}

@@ -160,6 +160,25 @@ object TokenGen {
     spark.range(nDocs).flatMap(i => docFragments(i, cdf))
   }
 
+  /** Deterministic child-document universe for details traversal
+    * (reference scrape/scrape.go:586-654: each extracted URL spawns a
+    * child scrape). The "web" is a pure function key → page: any
+    * extracted Path key resolves to the same child tokens everywhere,
+    * so parent and child sides can be generated independently at any
+    * scale with no driver-side state. */
+  def childTokens(key: String): Array[Int] =
+    docTokens(new Rng(SEED ^ fnv1a("child/" + key)))
+
+  /** Child-doc table for a set of link keys: canonical input_hint
+    * schema with source="details". */
+  def childDocs(spark: SparkSession, keys: Dataset[String]): DataFrame = {
+    import spark.implicits._
+    keys.distinct().map { k =>
+      val t = childTokens(k)
+      (k, t, t.length, "details")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+  }
+
   /** Canonical stored table per input_hint: one row per document
     * (fragments pre-stitched, duplicates dropped) — what the Iceberg
     * table of pre-tokenized sequences would contain at rest. */

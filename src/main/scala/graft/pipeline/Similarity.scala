@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+import graft.gen.TokenGen
+
+/**
+ * Similarity search over an embedding column (`embeddings` table:
+ * vec_id, embedding: array<float>, label).
+ *
+ *  - [[bruteTopK]] — exact top-k cosine neighbors: broadcast the
+ *    (small) query set against the full corpus, rank per query. The
+ *    corpus is scanned once, never shuffled; per-row work is the
+ *    codegen'd cosine kernel. This is the correctness baseline and
+ *    also the right plan at any corpus size when |queries| is small.
+ *  - [[lshCandidates]] / [[lshTopK]] — the scale path: random-
+ *    hyperplane signatures (deterministic, seeded) bucket the corpus;
+ *    a query only meets candidates sharing a bucket in ≥1 table.
+ *    Corpus-side signatures are narrow per-row work; the only
+ *    shuffle is the (vec_id, table, bucket) equi-join. Recall is
+ *    tunable by (nTables, nPlanes); exactness within met candidates.
+ */
+object Similarity {
+
+  /** Deterministic unit-free hyperplanes: values in [-1,1) from the
+    * seeded xorshift stream; plane p of table t is independent. */
+  private[pipeline] def hyperplanes(
+      nTables: Int, nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rng = new TokenGen.Rng(seed)
+    Seq.fill(nTables)(Seq.fill(nPlanes)(Array.fill(dim)(rng.nextDouble() * 2 - 1)))
+  }
+
+  /** Exact top-k neighbors for each query vector. Query side must be
+    * small (it is broadcast); `excludeSelf` drops the query row
+    * itself from its neighbor list. */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cos", VectorExprs.cosineSim(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** (vec_id, table, bucket) rows: bucket = sign bits of the vector
+    * against each hyperplane of the table. Narrow, codegen'd dot
+    * products (the cosine kernel against a constant plane is just a
+    * dot; sign only, so norms cancel). */
+  def lshCandidates(
+      emb: DataFrame,
+      nTables: Int = 8,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    val tables = (0 until nTables).map { t =>
+      val bits = planes(t).zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.map(lit): _*)
+        when(VectorExprs.cosineSim(col("embedding"), planeCol) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+    }
+    emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.bucket"))
+  }
+
+  /** Approximate top-k: exact ranking restricted to bucket-sharing
+    * candidates. Misses are possible by design; RecallSpec pins the
+    * measured recall vs [[bruteTopK]] on the fixed corpus. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nTables: Int = 8,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val cb = lshCandidates(corpus, nTables, nPlanes, dim, seed).toDF("n_id", "tbl", "bucket")
+    val qb = lshCandidates(queries, nTables, nPlanes, dim, seed).toDF("q_id", "tbl", "bucket")
+    val cand = qb.join(cb, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).dropDuplicates("q_id", "n_id")
+    val scored = cand
+      .join(queries.select(col("vec_id").as("q_id"), col("embedding").as("qv")), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv")), Seq("n_id"))
+      .withColumn("cos", VectorExprs.cosineSim(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

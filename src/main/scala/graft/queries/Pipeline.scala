@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/**
+ * Training-data pipeline queries over the driver's `documents` and
+ * `embeddings` tables (+ the deterministic synthetic media corpus).
+ * SQL-expressible ones carry DuckDB oracles in SparkEntry.oracleSql;
+ * the LSH/winnow/multimodal ones are rows-only there and pinned by
+ * PipelineSpec (planted-duplicate corpora, recall floors, schema
+ * round-trips).
+ */
+object Pipeline {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, dir), n = 3, threshold = 0.2)
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(spark, dir), n = 3, threshold = 0.2)
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), maxHamming = 3)
+
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embedNearDup(emb(spark, dir), threshold = 0.45)
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(spark, dir))
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(docs(spark, dir))
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(spark, dir))
+
+  def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprintMd5(docs(spark, dir))
+
+  def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(spark, dir))
+
+  def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = TokenEngine.scaleOf(dir) match {
+      case s if s >= 0.1  => 2000L
+      case s if s >= 0.01 => 500L
+      case _              => 200L
+    }
+    Multimodal.kindStats(Multimodal.extractFeatures(Multimodal.synthesize(spark, n)))
+  }
+}

@@ -66,6 +66,31 @@ object TokenEngine {
         max(col("n_tok")).as("max_tokens"))
       .orderBy(col("source"))
 
+  /** Details traversal in batch form (J1): a Path field extracts link
+    * keys; the child universe is the deterministic key→page function
+    * (TokenGen.childTokens); child blocks are nested per parent block
+    * under `Links_details` in (key, block) order. The child side is
+    * broadcast — the detail-page universe is far smaller than the
+    * parent block count (many parents share detail pages), which also
+    * removes hot-link-key join skew. */
+  def detailsJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parentSpec = ExtractionSpec("with_details", Seq(
+      FieldSpec("Names", selector = 3, types = Seq(ExtractorType.Text, ExtractorType.Count)),
+      FieldSpec("Links", selector = 5, types = Seq(ExtractorType.Path))))
+    val parents = ExtractCompiler.compile(docsFor(spark, dir), parentSpec)
+    val keys = parents.select(explode(col("__path_Links")).as("k")).as[String]
+    val childSpec = ExtractionSpec("detail", Seq(
+      FieldSpec("Phones", selector = 6, types = Seq(ExtractorType.Text, ExtractorType.Count))))
+    val childBlocks = ExtractCompiler.compile(
+      graft.gen.TokenGen.childDocs(spark, keys), childSpec)
+    graft.streaming.Details
+      .joinBatch(parents, "Links", childBlocks, broadcastChildren = true)
+      .select(col("doc_id"), col("block_idx"), col("Names_text"), col("Names_count"),
+        size(col("Links_details")).as("n_details"))
+      .orderBy(col("doc_id"), col("block_idx"))
+  }
+
   /** Token-pattern find-all (the regex analog, P3) — positions of a
     * 2-token subsequence within Names payloads. */
   def tokenPattern(spark: SparkSession, dir: String): DataFrame = {

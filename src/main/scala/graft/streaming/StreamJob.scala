@@ -49,7 +49,7 @@ object StreamJob {
       watermarkDelay: String = "10 minutes",
       sessionGapMs: Long = 30000L,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val assembled = Stitch.stitch(fragments, watermarkDelay, sessionGapMs)
+    val assembled = Stitch.stitch(limitPages(fragments, spec), watermarkDelay, sessionGapMs)
     val extracted = extractStage(assembled, spec)
     extracted.writeStream
       .queryName(queryId)
@@ -59,6 +59,14 @@ object StreamJob {
       .foreachBatch(table.appendBatch(queryId) _)
       .start()
   }
+
+  /** MaxPages limit (reference scrape/scrape.go:402-403: stop
+    * pagination after N pages, 0 = unlimited) — a per-group limit that
+    * compiles to a plain pushed-down filter because page_idx is data,
+    * not recursion depth. */
+  def limitPages(fragments: Dataset[Fragment], spec: ExtractionSpec): Dataset[Fragment] =
+    if (spec.maxPages > 0) fragments.filter(col("page_idx") < spec.maxPages)
+    else fragments
 
   /** File-based fragment source (the in-sandbox stand-in for the
     * Iceberg streaming scan): parquet files appearing under `dir`. */
@@ -82,11 +90,12 @@ object StreamJob {
       fragments: Dataset[Fragment],
       spec: ExtractionSpec,
       watermarkDelay: Option[Long] = None): DataFrame = {
+    val limited = limitPages(fragments, spec)
     val pruned = watermarkDelay match {
       case Some(delayMs) =>
-        val maxEvent = fragments.agg(max(col("event_time"))).head().getTimestamp(0)
-        fragments.filter(col("event_time") >= lit(new java.sql.Timestamp(maxEvent.getTime - delayMs)))
-      case None => fragments
+        val maxEvent = limited.agg(max(col("event_time"))).head().getTimestamp(0)
+        limited.filter(col("event_time") >= lit(new java.sql.Timestamp(maxEvent.getTime - delayMs)))
+      case None => limited
     }
     val docs = pruned.toDF()
       .dropDuplicates("doc_id", "page_idx")

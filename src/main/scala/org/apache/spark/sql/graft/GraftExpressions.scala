@@ -1,0 +1,79 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorKernels
+
+/**
+ * Catalyst expression bridge. Lives inside the org.apache.spark.sql
+ * package tree because `AbstractDataType` / `TypeCollection` /
+ * `ExpressionUtils.column` are `private[sql]` — the standard pattern
+ * for Spark extension libraries that add native expressions. The
+ * kernels themselves are plain code in [[graft.functions.VectorKernels]].
+ */
+object GraftExpressions {
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def simhash64(words: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(words)))
+}
+
+/** `cosine_sim(array<float|double>, array<float|double>) -> double`.
+  * Generated code is one static call — stays in whole-stage codegen. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+
+  private lazy val lf = isFloat(left)
+  private lazy val rf = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (lf && rf) VectorKernels.cosineF(x, y)
+    else if (!lf && !rf) VectorKernels.cosineD(x, y)
+    else VectorKernels.cosineM(x, y, lf, rf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val call =
+        if (lf && rf) s"graft.functions.VectorKernels.cosineF($a, $b)"
+        else if (!lf && !rf) s"graft.functions.VectorKernels.cosineD($a, $b)"
+        else s"graft.functions.VectorKernels.cosineM($a, $b, $lf, $rf)"
+      s"${ev.value} = $call;"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `simhash64(array<string>) -> bigint`. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(words: Any): Any =
+    VectorKernels.simhash64(words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.VectorKernels.simhash64($w)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.extract.ExtractCompiler
+import graft.gen.TokenGen
+import graft.model._
+import graft.streaming.Details
+
+/** Details traversal (J1) — reference scrape/scrape.go:586-654 +
+  * encoder nesting encoders.go:193-227. Handcrafted parent/child docs
+  * with known base-36 key decodings:
+  * 100→"2S", 200→"5K", 300→"8C", 1295→"ZZ", 111→"33", 112→"34", 113→"35". */
+class DetailsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val parentSpec = ExtractionSpec("p", Seq(
+    FieldSpec("Names", 3, Seq(ExtractorType.Text)),
+    FieldSpec("Links", 5, Seq(ExtractorType.Path))))
+  private val childSpec = ExtractionSpec("c", Seq(
+    FieldSpec("Phones", 6, Seq(ExtractorType.Text, ExtractorType.Count))))
+
+  private def parents = Seq(
+    ("p1", Array(2, 3, 100, 1, 5, 200, 1)),          // one link  -> 5K
+    ("p2", Array(2, 5, 200, 1, 5, 300, 1)),          // two links -> 5K, 8C (key order)
+    ("p3", Array(2, 3, 100, 1)),                     // no link
+    ("p4", Array(2, 5, 1295, 1))                     // dangling link -> ZZ (no child)
+  ).toDF("doc_id", "tokens")
+
+  private def children = Seq(
+    ("5K", Array(2, 6, 111, 1, 2, 6, 112, 1)),       // two blocks
+    ("8C", Array(2, 6, 113, 1))                      // one block
+  ).toDF("doc_id", "tokens")
+
+  test("batch details join nests child blocks in (key, block) order; dangling/empty -> []") {
+    val p = ExtractCompiler.compile(parents, parentSpec)
+    val c = ExtractCompiler.compile(children, childSpec)
+    val out = Details.joinBatch(p, "Links", c, broadcastChildren = true)
+      .orderBy("doc_id", "block_idx")
+      .collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        r.getAs[scala.collection.Seq[Row]]("Links_details")
+          .map(_.getAs[scala.collection.Seq[String]]("Phones_text").mkString("|")))
+      .toMap
+
+    assert(out("p1") == Seq("33", "34"), s"p1: ${out("p1")}")
+    assert(out("p2") == Seq("33", "34", "35"), "key order then block order")
+    assert(out("p3") == Seq(), "no links -> empty details")
+    assert(out("p4") == Seq(), "dangling link -> empty details")
+  }
+
+  test("path field is a join key only: not emitted as a user column (scrape.go:569-571)") {
+    val p = ExtractCompiler.compile(parents, parentSpec)
+    val c = ExtractCompiler.compile(children, childSpec)
+    val out = Details.joinBatch(p, "Links", c)
+    assert(!out.columns.exists(_.startsWith("__path_")))
+    assert(out.columns.contains("Links_details") && out.columns.contains("Names_text"))
+  }
+
+  test("deterministic child universe: same key -> same tokens anywhere") {
+    val a = TokenGen.childTokens("5K").toSeq
+    val b = TokenGen.childTokens("5K").toSeq
+    assert(a == b && a.nonEmpty)
+    val df = TokenGen.childDocs(spark, Seq("5K", "5K", "8C").toDS())
+    assert(df.count() == 2, "keys deduped")
+    assert(df.filter($"doc_id" === "5K").head().getAs[scala.collection.Seq[Int]]("tokens") == a)
+  }
+
+  test("streaming details join: watermarked band join matches in-band children only") {
+    def ts(s: Long) = new Timestamp(TokenGen.BASE_EPOCH_MS + s * 1000L)
+    val links = MemoryStream[(String, String, Timestamp)]
+    val kids = MemoryStream[(String, String, Timestamp)]
+    val out = Details.joinStream(
+      links.toDF().toDF("parent_id", "link_key", "p_time"),
+      kids.toDF().toDF("c_doc_id", "c_val", "c_time"),
+      watermarkDelay = "10 seconds", bandSeconds = 60L)
+    val q = out.writeStream.format("memory").queryName("det_s").outputMode("append").start()
+    try {
+      links.addData(("p1", "k1", ts(100)), ("p2", "k2", ts(100)))
+      kids.addData(("k1", "v1", ts(130)),   // in band (+30s)
+        ("k2", "v2", ts(400)))              // out of band (+300s > 60s)
+      q.processAllAvailable()
+      val rows = spark.table("det_s").select("parent_id", "c_val").as[(String, String)]
+        .collect().toSet
+      assert(rows == Set("p1" -> "v1"), s"got $rows")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+import graft.pipeline._
+
+/** Training-data pipeline operators: planted-duplicate corpora for
+  * the dedup family, recall floor for LSH ANN, schema round-trip for
+  * multimodal. The DuckDB-oracle-checked behaviors (exact dedup,
+  * jaccard, brute ANN, text analysis) are covered by Verify; these
+  * tests pin the NON-SQL-expressible semantics. */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Corpus with planted near-duplicates: base docs + one-word edits
+    * (high Jaccard), plus unrelated docs. */
+  private def plantedDocs: DataFrame = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val edit1 = base.replace("theta", "THETA")          // 1-word edit
+    val edit2 = base.replace("kappa", "kappax") + " phi" // 2 edits
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    Seq(
+      (1L, base), (2L, edit1), (3L, edit2), (4L, other),
+      (5L, base), // exact copy of 1
+      (6L, "tiny doc")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val out = Dedup.exact(plantedDocs).collect()
+    val byCanon = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byCanon(1L) == 2, "doc 5 collapses into doc 1")
+    assert(out.length == 5, s"5 distinct texts, got ${out.length}")
+  }
+
+  test("jaccard pairs find planted near-dups and nothing else") {
+    val pairs = Dedup.jaccardPairs(plantedDocs, n = 3, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L)), "2-edit doc still above 0.5 trigram jaccard")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc never pairs")
+  }
+
+  test("minhash LSH: high-jaccard pairs always candidates; verification kills the rest") {
+    // pairs at J>=0.8 have band-collision prob 1-(1-J^4)^8 > 0.996 —
+    // on the fixed seed they must all surface; borderline pairs
+    // (J~0.6, miss prob ~0.2) are allowed to be missed (that's the
+    // LSH recall trade), but anything EMITTED must verify >= 0.5.
+    val exact = Dedup.jaccardPairs(plantedDocs, n = 3, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val highJ = Set((1L, 2L), (1L, 5L), (2L, 5L)) // exact copy + 1-word edit
+    val lsh = Dedup.minhashLsh(plantedDocs, n = 3, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(highJ.subsetOf(lsh), s"missed high-J pairs: ${highJ -- lsh}")
+    assert(lsh.subsetOf(exact), "verification stage must kill sub-threshold candidates")
+  }
+
+  test("minhash signature is a narrow plan (no shuffle before banding)") {
+    val sets = Dedup.shingleSets(plantedDocs)
+    val sig = sets.select(Dedup.minhashSignature(col("sh")).as("sig"))
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature stage must not shuffle:\n$plan")
+  }
+
+  test("simhash pairs: long near-dup docs within hamming<=3, unrelated docs never pair") {
+    // SimHash needs long documents: on an n-word doc a 1-word edit
+    // flips bits where |counter| <= 2, expected ~64/sqrt(n) flips —
+    // so the corpus here is 200 words (expected < 3 flips), unlike
+    // the 20-word jaccard corpus (a 1-word edit there flips ~8 bits).
+    val long1 = (0 until 200).map(i => s"word$i").mkString(" ")
+    val long2 = long1.replace("word100", "EDITED")
+    val long3 = (0 until 200).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, long1), (2L, long2), (3L, long3), (4L, long1))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "identical docs at hamming 0")
+    assert(pairs.contains((1L, 2L)), "1-word edit on 200 words within hamming<=3")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc never pairs")
+  }
+
+  test("simhash64 expression: deterministic, codegen-stable, order-sensitive input set") {
+    val df = Seq(
+      ("a", Array("x", "y", "z")),
+      ("b", Array("x", "y", "z")),
+      ("c", Array("p", "q", "r", "s", "t"))
+    ).toDF("id", "ws").select($"id", VectorExprs.simhash64($"ws").as("sig"))
+    val m = df.as[(String, Long)].collect().toMap
+    assert(m("a") == m("b"), "same words -> same signature")
+    assert(m("a") != m("c"))
+    // with the avalanche finalizer unrelated signatures sit near the
+    // binomial(64, 1/2) center, far above any dedup threshold
+    assert(java.lang.Long.bitCount(m("a") ^ m("c")) > 15, "unrelated word sets far apart")
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v1b = v1.map(x => x * 1.001f)                  // near-dup (cos ~ 1)
+    val v2 = Array.tabulate(8)(i => (if (i % 2 == 0) 1f else -1f) * (i + 1))
+    val emb = Seq((1L, v1), (2L, v1b), (3L, v2)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embedNearDup(emb, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("cosineSim expression matches manual computation and handles zero vectors") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0.6f, 0.8f), 0.6),
+      (Array(0f, 0f), Array(1f, 1f), 0.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0)
+    ).toDF("a", "b", "exp")
+    val got = df.select(VectorExprs.cosineSim($"a", $"b").as("c"), $"exp")
+      .as[(Double, Double)].collect()
+    // float32 inputs: 0.6f != 0.6 exactly — tolerance is float ulp scale
+    got.foreach { case (c, e) => assert(math.abs(c - e) < 1e-6, s"$c vs $e") }
+  }
+
+  test("LSH ANN recall >= 0.6 vs brute force on the fixed embeddings table") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val brute = Similarity.bruteTopK(e, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(e, q, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(f"LSH ANN recall = $recall%.3f (${approx.size} approx rows)")
+    // uniform random vectors are LSH's worst case (no cluster
+    // structure; top-5 cosines ~0.35 -> per-table collision ~0.14);
+    // 8 tables x 4 planes gives ~0.7 expected — floor at 0.55
+    assert(recall >= 0.55, f"recall $recall%.3f below floor — retune (nTables, nPlanes)")
+  }
+
+  test("multimodal: binary+struct schema round-trips parquet; features deterministic; batched extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    val media = Multimodal.synthesize(spark, 50)
+    media.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[MediaRecord](org.apache.spark.sql.Encoders.product[MediaRecord])
+    assert(back.count() == 50)
+    val f1 = Multimodal.extractFeatures(back).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.length == 50 && f1.forall(_.embedding.length == 64))
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.media_id == b.media_id && a.embedding.toSeq == b.embedding.toSeq,
+        "decode stub must be deterministic across parquet round-trip")
+    }
+    val stats = Multimodal.kindStats(Multimodal.extractFeatures(back)).collect()
+    assert(stats.map(_.getString(0)).toSet.subsetOf(Set("image", "audio", "video")))
+    assert(stats.map(_.getLong(1)).sum == 50)
+  }
+
+  test("quality buckets: planted degenerate docs classify correctly") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog"),
+      (2L, "wow"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.quality(df).select("doc_id", "quality_bucket")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "keep" && m(2L) == "too_short" && m(3L) == "no_stopwords")
+  }
+
+  test("langId picks the language whose markers dominate; deterministic tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house", "en"),
+      (2L, "el perro y la casa de que un gato es", "es"),
+      (3L, "der hund und die katze das ist ein", "de"),
+      (4L, "xyzzy plugh quux", "en")
+    ).toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.langId(df).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "en" && m(2L) == "es" && m(3L) == "de")
+    assert(m(4L) == "und", "no markers -> und")
+  }
+
+  test("winnow fingerprint overlaps heavily for near-dup texts, not for unrelated") {
+    val fp = TextAnalysis.fingerprint(plantedDocs)
+      .select("doc_id", "winnow_fp").as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Seq[Long], b: Seq[Long]): Double =
+      a.toSet.intersect(b.toSet).size.toDouble / math.max(1, math.max(a.size, b.size))
+    assert(overlap(fp(1L), fp(5L)) == 1.0, "identical docs -> identical fingerprint")
+    assert(overlap(fp(1L), fp(2L)) > 0.5, "near-dup -> high overlap")
+    assert(overlap(fp(1L), fp(4L)) == 0.0, "unrelated -> no overlap")
+  }
+}
