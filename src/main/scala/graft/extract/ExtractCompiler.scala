@@ -2,6 +2,7 @@ package graft.extract
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{TokenExpressions => graft2}
 import graft.model._
 
 /**
@@ -49,26 +50,13 @@ object ExtractCompiler {
    * fallback, reference structure.go:139-144).
    */
   def segment(df: DataFrame, tokensCol: String = "tokens"): DataFrame = {
-    val toks = col(tokensCol)
-    val starts = positionsOf(toks, RECORD_START)
-    val bounds = concat(starts, array(size(toks)))
-    val blocks = when(size(starts) === 0, array(toks)).otherwise(
-      transform(sequence(lit(0), size(starts) - 1), j =>
-        slice(toks, element_at(bounds, j + 1) + 2,
-          element_at(bounds, j + 2) - element_at(bounds, j + 1) - 1)))
+    val blocks = graft2.splitBlocks(col(tokensCol), RECORD_START)
     df.select(col("*"), posexplode(blocks).as(Seq("block_idx", "block_tokens")))
   }
 
   /** Split one block into fields: `[tag payload* FIELD_DELIM]*` →
     * array of field arrays (tag at head, delimiter stripped). */
-  def fieldsOf(block: Column): Column = {
-    val ends = positionsOf(block, FIELD_DELIM)
-    when(size(ends) <= 0, array().cast("array<array<int>>")).otherwise(
-      transform(sequence(lit(0), size(ends) - 1), j => {
-        val start = when(j === 0, lit(0)).otherwise(element_at(ends, j) + 1)
-        slice(block, start + 1, element_at(ends, j + 1) - start)
-      }))
-  }
+  def fieldsOf(block: Column): Column = graft2.splitFields(block, FIELD_DELIM)
 
   /** Fields matching a selector tag. */
   def matchedFields(block: Column, tag: Int): Column =
@@ -87,10 +75,9 @@ object ExtractCompiler {
     }
 
   /** Base-36 decode of a payload to a space-joined string (the "text"
-    * of the field) — matches TokenCodec.decodeToken. `conv` is a
-    * codegen'd Catalyst builtin. */
-  def decodeText(payload: Column): Column =
-    array_join(transform(payload, t => upper(conv(t.cast("string"), 10, 36))), " ")
+    * of the field) — matches TokenCodec.decodeToken. One-pass codegen
+    * kernel (was transform+conv+array_join). */
+  def decodeText(payload: Column): Column = graft2.decodeJoin(payload)
 
   /** 0-based start offsets of contiguous subsequence `pattern` in
     * `payload` — the regex find-all analog (reference
@@ -98,14 +85,7 @@ object ExtractCompiler {
     * so the match predicate unrolls into plain conjunctions. */
   def patternPositions(payload: Column, pattern: Seq[Int]): Column = {
     require(pattern.nonEmpty, "empty token pattern")
-    // guard: payload shorter than pattern → sequence() would descend
-    // through index 0; emit an empty match list instead
-    when(size(payload) < lit(pattern.length), array().cast("array<int>"))
-      .otherwise(
-        filter(sequence(lit(0), size(payload) - lit(pattern.length)), i =>
-          pattern.zipWithIndex.map { case (p, k) =>
-            element_at(payload, i + k + 1) === lit(p)
-          }.reduce(_ && _)))
+    graft2.tokenFindAll(payload, pattern)
   }
 
   /** One compiled part = Field×Type (reference Part, structure.go:113-126).

@@ -84,8 +84,12 @@ object TokenEngine {
       FieldSpec("Phones", selector = 6, types = Seq(ExtractorType.Text, ExtractorType.Count))))
     val childBlocks = ExtractCompiler.compile(
       graft.gen.TokenGen.childDocs(spark, keys), childSpec)
+    // broadcast only while the child-block side is genuinely small;
+    // at sf>=0.1 the link universe is ~1 child doc per parent doc, so
+    // the nested side is fact-sized -> sort-merge join on link_key
     graft.streaming.Details
-      .joinBatch(parents, "Links", childBlocks, broadcastChildren = true)
+      .joinBatch(parents, "Links", childBlocks,
+        broadcastChildren = scaleOf(dir) < 0.1)
       .select(col("doc_id"), col("block_idx"), col("Names_text"), col("Names_count"),
         size(col("Links_details")).as("n_details"))
       .orderBy(col("doc_id"), col("block_idx"))

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
  * deterministic goldens (the reference's XML encoder suffers Go map
  * nondeterminism, scrape_test.go:372-373 — we fix that).
  */
-object RecordEncoder {
+object RecordEncoder extends Serializable {
 
   private def esc(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
@@ -93,4 +93,38 @@ object RecordEncoder {
   }
 
   def csvHeader(df: DataFrame): String = df.columns.mkString(",")
+
+  private def escXml(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&'  => sb.append("&amp;")
+      case '<'  => sb.append("&lt;")
+      case '>'  => sb.append("&gt;")
+      case '"'  => sb.append("&quot;")
+      case '\'' => sb.append("&apos;")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** XML encoding (reference encoders.go:380-394): one `<item>` per
+    * row, one `<name>value</name>` element per non-null field, arrays
+    * as repeated elements. Elements emitted in SCHEMA order — the
+    * reference's XML output is nondeterministic (Go map iteration,
+    * acknowledged at scrape_test.go:372-373); ours is stable. */
+  def toXmlRecords(df: DataFrame): Dataset[String] = {
+    val schema = df.schema
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    def elem(name: String, v: Any, dt: DataType): String = (v, dt) match {
+      case (null, _) => "" // nil-omission
+      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+        seq.map(elem(name, _, et)).mkString
+      case (other, _) => s"<$name>${escXml(String.valueOf(other))}</$name>"
+    }
+    df.map { row =>
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        elem(escXml(f.name), row.get(i), f.dataType)
+      }.mkString("<item>", "", "</item>")
+    }
+  }
 }

@@ -17,13 +17,47 @@ final case class AssembledDoc(
     event_time: Timestamp,
     n_frags: Int)
 
-/** Stitcher state: page_idx → fragment tokens, plus bookkeeping.
-  * Must be case-class-encodable (stored in the state store — RocksDB
-  * provider in production, HDFS-backed in tests). */
+/** Stitcher state: fragments keyed by page_idx, stored as flat
+  * primitive arrays (page ids + per-page lengths + concatenated
+  * tokens). A `Map[Int, Array[Int]]` here encodes through Catalyst's
+  * generic map path (boxed keys, per-entry object churn) and
+  * dominated ingest-batch state-commit cost; primitive arrays encode
+  * as contiguous UnsafeRow bytes. Must stay case-class-encodable
+  * (state store: RocksDB in production, HDFS-backed in tests). */
 final case class StitchState(
-    pages: Map[Int, Array[Int]],
+    pageIds: Array[Int],
+    pageLens: Array[Int],
+    tokens: Array[Int],
     source: String,
-    maxEventMs: Long)
+    maxEventMs: Long) {
+
+  def hasPage(pageIdx: Int): Boolean = pageIds.contains(pageIdx)
+
+  def addPage(pageIdx: Int, toks: Array[Int], src: String, eventMs: Long): StitchState =
+    if (hasPage(pageIdx)) this // dup page = dropped row: state untouched,
+                               // exactly what the strict dedup stage does
+    else StitchState(
+      pageIds :+ pageIdx, pageLens :+ toks.length, tokens ++ toks,
+      src, math.max(maxEventMs, eventMs))
+
+  /** Token stream in ascending page order (insertion order may differ). */
+  def assembled: Array[Int] = {
+    val order = pageIds.indices.sortBy(pageIds(_))
+    val out = new Array[Int](tokens.length)
+    var pos = 0
+    val starts = pageLens.scanLeft(0)(_ + _)
+    order.foreach { i =>
+      System.arraycopy(tokens, starts(i), out, pos, pageLens(i))
+      pos += pageLens(i)
+    }
+    out
+  }
+}
+
+object StitchState {
+  val empty: StitchState =
+    StitchState(Array.empty, Array.empty, Array.empty, "", Long.MinValue)
+}
 
 /**
  * Fragment assembly — the session-window analog of the reference's
@@ -55,32 +89,37 @@ final case class StitchState(
  */
 object Stitch {
 
-  /** Per-group update: merge new fragments, or emit+evict on timeout. */
-  def update(gapMs: Long)(
+  /** Per-group update: merge new fragments, or emit+evict on timeout.
+    * With `fused`, late rows (event_time < watermark) are dropped HERE
+    * — same predicate the upstream dropDuplicatesWithinWatermark
+    * applies — so a session evicted by timeout can never be re-created
+    * by a straggler, without a second stateful operator. */
+  def update(gapMs: Long, fused: Boolean)(
       docId: String,
       rows: Iterator[Fragment],
       state: GroupState[StitchState]): Iterator[AssembledDoc] = {
     if (state.hasTimedOut) {
       val s = state.get
-      val pages = s.pages.toSeq.sortBy(_._1)
-      val tokens = pages.flatMap(_._2).toArray
+      val tokens = s.assembled
+      val nPages = s.pageIds.length
       state.remove()
       Iterator.single(AssembledDoc(
         docId, tokens, tokens.length, s.source,
-        new Timestamp(s.maxEventMs), pages.size))
+        new Timestamp(s.maxEventMs), nPages))
     } else {
-      var s = state.getOption.getOrElse(StitchState(Map.empty, "", Long.MinValue))
-      rows.foreach { f =>
-        s = StitchState(
-          s.pages + (f.page_idx -> f.tokens), // dup page overwrite = dedup
-          f.source,
-          math.max(s.maxEventMs, f.event_time.getTime))
-      }
-      state.update(s)
-      // session close = gap past the newest fragment; must stay ahead
-      // of the current watermark or Spark rejects the timestamp
       val wm = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(math.max(s.maxEventMs + gapMs, wm + 1))
+      val live = if (fused) rows.filter(_.event_time.getTime >= wm) else rows
+      var s = state.getOption.orNull
+      live.foreach { f =>
+        val prev = if (s == null) StitchState.empty else s
+        s = prev.addPage(f.page_idx, f.tokens, f.source, f.event_time.getTime)
+      }
+      if (s != null) {
+        state.update(s)
+        // session close = gap past the newest fragment; must stay
+        // ahead of the current watermark or Spark rejects the timestamp
+        state.setTimeoutTimestamp(math.max(s.maxEventMs + gapMs, wm + 1))
+      }
       Iterator.empty
     }
   }
@@ -95,18 +134,30 @@ object Stitch {
    * drops exact re-emissions AND late rows (counted by the state
    * operator's numRowsDroppedByWatermark metric).
    */
+  /** `fused = true` (default): late-drop + page-level dedup happen
+    * inside the stitcher — ONE shuffle and ONE state store. The
+    * separate `dropDuplicatesWithinWatermark` stage (`fused = false`)
+    * keeps a state entry PER FRAGMENT and a second shuffle just to
+    * pre-drop exact re-emissions; its one observable advantage is the
+    * per-operator numRowsDroppedByWatermark metric, so strict mode
+    * stays available where that audit trail is required. At 10^12
+    * sequences the fused form halves both the ingest shuffle volume
+    * and the state-commit bytes of the hot path. */
   def stitch(
       fragments: Dataset[Fragment],
       watermarkDelay: String = "10 minutes",
-      gapMs: Long = 30000L): Dataset[AssembledDoc] = {
+      gapMs: Long = 30000L,
+      fused: Boolean = true): Dataset[AssembledDoc] = {
     implicit val fragEnc = Encoders.product[Fragment]
     implicit val docEnc = Encoders.product[AssembledDoc]
     implicit val stateEnc = Encoders.product[StitchState]
-    fragments
-      .withWatermark("event_time", watermarkDelay)
-      .dropDuplicatesWithinWatermark("doc_id", "page_idx")
+    val marked = fragments.withWatermark("event_time", watermarkDelay)
+    val deduped =
+      if (fused) marked
+      else marked.dropDuplicatesWithinWatermark("doc_id", "page_idx")
+    deduped
       .groupByKey(_.doc_id)(Encoders.STRING)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update(gapMs))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update(gapMs, fused))
   }
 }

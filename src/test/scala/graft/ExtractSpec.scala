@@ -81,6 +81,12 @@ class ExtractSpec extends SparkSuite {
     val json = graft.sink.RecordEncoder.toJsonRecords(out).collect().head
     // 100=2S 200=5K 300=8C 301=8D in base36
     assert(json == """{"A_text":"2S","B_text":["5K","8C 8D"]}""", json)
+    val csv = graft.sink.RecordEncoder.toCsvLines(out).collect().head
+    assert(csv == "2S,5K;8C 8D,", s"csv: $csv") // null -> empty cell, arrays ;-joined
+    assert(graft.sink.RecordEncoder.csvHeader(out) == "A_text,B_text,Z_text")
+    val xml = graft.sink.RecordEncoder.toXmlRecords(out).collect().head
+    assert(xml == "<item><A_text>2S</A_text><B_text>5K</B_text>" +
+      "<B_text>8C 8D</B_text></item>", s"xml: $xml") // repeated elems, nil omitted
   }
 
   test("spec validation reproduces reference error cases") {

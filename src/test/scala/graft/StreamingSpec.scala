@@ -63,9 +63,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("late fragment beyond watermark is dropped and counted") {
+  test("late fragment beyond watermark is dropped in fused mode (no session re-creation)") {
     val mem = MemoryStream[Fragment]
     val out = Stitch.stitch(mem.toDS(), watermarkDelay = "5 seconds", gapMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("late_f").outputMode("append").start()
+    try {
+      mem.addData(frag("a", 0, d2, 100))
+      q.processAllAvailable() // watermark -> 95s
+      mem.addData(frag("zlate", 0, d1p0, 10)) // 90s behind: beyond watermark
+      q.processAllAvailable()
+      mem.addData(frag("~flush", 0, Array(2), 1000))
+      q.processAllAvailable()
+      mem.addData(frag("~flush2", 0, Array(2), 2000))
+      q.processAllAvailable()
+      val docs = spark.table("late_f").select("doc_id").as[String].collect().toSet
+      assert(docs.contains("a"))
+      assert(!docs.contains("zlate"), "late fragment must be dropped in fused mode")
+    } finally q.stop()
+  }
+
+  test("late fragment beyond watermark is dropped and counted (strict mode)") {
+    val mem = MemoryStream[Fragment]
+    val out = Stitch.stitch(mem.toDS(), watermarkDelay = "5 seconds", gapMs = 5000L,
+      fused = false)
     val q = out.writeStream.format("memory").queryName("late_t").outputMode("append").start()
     try {
       mem.addData(frag("a", 0, d2, 100))
