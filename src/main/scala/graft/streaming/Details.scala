@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
  *    sink (foreachBatch), where the joined rows of an epoch are
  *    grouped exactly like the batch form.
  *
+ * Deployment note: Spark does not support arbitrary chaining of
+ * flatMapGroupsWithState with further stateful operators in one
+ * query, so the full stitch→extract→details pipeline runs as TWO
+ * checkpointed queries decoupled by the exactly-once ResultTable:
+ * query 1 lands extracted parent blocks (with `__path_*` link
+ * columns), query 2 streams that table, explodes link rows, and joins
+ * the child stream. Each stage is independently resumable and the
+ * table boundary is the same idempotent commit log — the standard
+ * multi-stage streaming topology at scale.
+ *
  * Scale: the child aggregation shuffles on child doc_id (uniform);
  * the join shuffles both sides on link_key. A hot link key (many
  * parents pointing at one child doc — the reference's shared detail

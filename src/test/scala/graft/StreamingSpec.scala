@@ -153,6 +153,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("metrics listener captures per-batch volumes, state totals and late drops") {
+    val metrics = Metrics.install(spark)
+    try {
+      val mem = MemoryStream[Fragment]
+      val out = Stitch.stitch(mem.toDS(), watermarkDelay = "5 seconds", gapMs = 5000L)
+      val q = out.writeStream.format("memory").queryName("metrics_t")
+        .outputMode("append").start()
+      try {
+        mem.addData(frag("m1", 0, d2, 100))
+        q.processAllAvailable()
+        mem.addData(frag("m2", 0, d1p0, 200))
+        q.processAllAvailable()
+        val rows = metrics.rows.filter(_.query_name == "metrics_t")
+        assert(rows.nonEmpty, "no metrics captured")
+        assert(rows.map(_.input_rows).sum >= 2)
+        assert(rows.exists(_.state_rows_total >= 1), "state totals missing")
+        assert(rows.forall(_.batch_duration_ms >= 0))
+        val df = metrics.snapshot(spark).filter(col("query_name") === "metrics_t")
+        assert(df.count() == rows.length)
+      } finally q.stop()
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("exactly-once sink: replayed batch id is a no-op; lineage columns present") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val table = new ResultTable(dir)
