@@ -19,7 +19,9 @@ import graft.streaming.StreamJob
  *  - `stream`: the authoritative BASELINE metric — sustained
  *    extracted-rows/sec of the full streaming pipeline (watermark
  *    dedup → session stitch → Catalyst extraction → exactly-once
- *    sink, RocksDB state store), measured on the SAME deterministic
+ *    sink; in-memory state store by default at this state size,
+ *    RocksDB via SPARK_GRAFT_STATE_STORE for state ≫ memory),
+ *    measured on the SAME deterministic
  *    input at local[N] and local[4N] (default N=8), plus
  *    `scaling_efficiency` = (rate_4N / rate_N) / 4 — the sandbox
  *    evidence for the two-cluster-size criterion (BASELINE.md), with
@@ -112,7 +114,7 @@ object Bench {
       // without paying a per-run state-store reopen (3 query restarts
       // × per-partition RocksDB opens previously dominated the wall
       // and inverted the scaling curve)
-      val attempts = sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "2").toInt
+      val attempts = sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "3").toInt
       val expected = StreamJob.batchOracle(spark, all, spec).count()
       // flushes must sit strictly AFTER the corpus's event-time range
       // (they exist to advance the watermark past every session timer)
