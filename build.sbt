@@ -31,5 +31,3 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // commits into GC stalls that poison scaling measurements
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
-javaOptions ++= Seq(
-)

@@ -238,6 +238,9 @@ object Bench {
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // per-query cache lifecycle: dedup queries cache shingle sets;
+        // without this, cached blocks accumulate across the query list
+        spark.catalog.clearCache()
         name -> (System.nanoTime() - t0) / 1e9
       }
       spark.stop()

@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    TokenEngine.extractFlat(spark, "/root/testdata/sf0.001")
+    TokenEngine.extractFlatDriver(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -34,7 +34,7 @@ object SparkEntry {
     "q_session" -> (Relational.qSessionWindow _),
     "q_distinct" -> (Relational.qDistinct _),
     // token-domain engine (north_star pipeline, batch form) — Scala-oracle-checked
-    "extract_flat" -> (TokenEngine.extractFlat _),
+    "extract_flat" -> (TokenEngine.extractFlatDriver _),
     "source_stats" -> (TokenEngine.sourceStats _),
     "token_pattern" -> (TokenEngine.tokenPattern _),
     "details_join" -> (TokenEngine.detailsJoin _),
@@ -46,6 +46,7 @@ object SparkEntry {
     "minhash_lsh" -> (Pipeline.minhashLsh _),
     "simhash_pairs" -> (Pipeline.simhashPairs _),
     "embed_neardup" -> (Pipeline.embedNearDup _),
+    "embed_neardup_lsh" -> (Pipeline.embedNearDupLsh _),
     "ann_topk" -> (Pipeline.annTopK _),
     "ann_lsh" -> (Pipeline.annLsh _),
     "token_counts" -> (Pipeline.tokenCounts _),
@@ -56,9 +57,104 @@ object SparkEntry {
     "multimodal_stats" -> (Pipeline.multimodalStats _)
   )
 
+  /** Shared DuckDB CTE prefix for the token-domain oracles: the
+    * exported token table ({GRAFT_OUT}/_tables/tokens, written by
+    * Verify; placeholder substituted there) re-segmented with the
+    * exact splitBlocks/splitFields semantics of TokenKernels —
+    * sentinel 2 opens a block, delimiter 1 closes a field, trailing
+    * undelimited runs drop, content before the first sentinel skips.
+    * An independent second implementation of the extraction kernels,
+    * in SQL, over the same table. */
+  private val tokenCte: String =
+    """WITH t AS (SELECT doc_id, source, tokens
+      |           FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet')),
+      |b0 AS (SELECT doc_id, source, tokens,
+      |         list_filter(range(1, len(tokens)+1), i -> tokens[i] = 2) AS st
+      |       FROM t),
+      |blocks AS (SELECT doc_id, source,
+      |    unnest(range(len(st))) AS block_idx,
+      |    unnest(list_transform(range(1, len(st)+1),
+      |      k -> tokens[st[k]+1 : CASE WHEN k < len(st) THEN st[k+1]-1 ELSE len(tokens) END])) AS bt
+      |  FROM b0 WHERE len(st) > 0),
+      |fb AS (SELECT doc_id, source, block_idx, bt,
+      |    list_filter(range(1, len(bt)+1), i -> bt[i] = 1) AS dp
+      |  FROM blocks),
+      |fs AS (SELECT doc_id, source, block_idx,
+      |    list_transform(range(1, len(dp)+1),
+      |      j -> bt[CASE WHEN j = 1 THEN 1 ELSE dp[j-1]+1 END : dp[j]-1]) AS fields
+      |  FROM fb)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Token-domain queries read the tables Verify exports under
+    * {GRAFT_OUT}/_tables (substituted with the absolute outDir). */
   def oracleSql: Map[String, String] = Map(
+    "source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |  MAX(n_tok) AS max_tokens
+        |FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet')
+        |WHERE len(tokens) = n_tok
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "token_pattern" -> (tokenCte +
+      """,
+        |m AS (SELECT doc_id, source, block_idx,
+        |    list_filter(fields, f -> len(f) > 0 AND f[1] = 3) AS mf
+        |  FROM fs),
+        |hits AS (SELECT doc_id, source, block_idx,
+        |    CAST(len(mf) AS INT) AS Names_count,
+        |    flatten(list_transform(mf, f ->
+        |      list_transform(
+        |        list_filter(range(2, len(f)), i -> f[i] = 100 AND f[i+1] = 101),
+        |        i -> i - 2))) AS pos
+        |  FROM m)
+        |SELECT doc_id, source, CAST(block_idx AS INT) AS block_idx,
+        |  CAST(len(pos) AS INT) AS n_hits,
+        |  array_to_string(pos, ',') AS hit_positions, Names_count
+        |FROM hits WHERE len(pos) > 0
+        |ORDER BY doc_id, block_idx""".stripMargin),
+    "extract_flat" -> (tokenCte +
+      """,
+        |m AS (SELECT doc_id, source, block_idx,
+        |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 3), f -> f[2:]) AS p3,
+        |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 4), f -> f[2:]) AS p4
+        |  FROM fs),
+        |dec AS (SELECT doc_id, source, block_idx, p3, p4,
+        |    list_transform(p3, p -> coalesce(array_to_string(list_transform(p, tk -> to_base(tk, 36)), ' '), '')) AS t3,
+        |    list_transform(p4, p -> coalesce(array_to_string(list_transform(p, tk -> to_base(tk, 36)), ' '), '')) AS t4
+        |  FROM m)
+        |SELECT doc_id, source, CAST(block_idx AS INT) AS block_idx,
+        |  CASE WHEN len(p3) > 0 THEN array_to_string(list_transform(t3, s -> lower(s)), '|') END AS Names_text,
+        |  CASE WHEN len(p3) > 0 THEN array_to_string(list_transform(p3,
+        |    p -> coalesce(array_to_string(list_transform(p, tk -> CAST(tk AS VARCHAR)), ' '), '')), '|') END AS Names_tokens,
+        |  CASE WHEN len(p3) > 0 THEN CAST(len(p3) AS INT) END AS Names_count,
+        |  'card' AS Names_const,
+        |  CASE WHEN len(p4) > 0 THEN array_to_string(list_transform(t4,
+        |    s -> coalesce(array_to_string(list_transform(string_split(trim(s), ' '),
+        |        w -> upper(w[1:1]) || lower(w[2:])), ' '), '')), '|') END AS Images_text,
+        |  CASE WHEN len(p4) > 0 THEN CAST(len(p4) AS INT) END AS Images_count
+        |FROM dec
+        |ORDER BY doc_id, block_idx""".stripMargin),
+    "details_join" -> (tokenCte +
+      """,
+        |m AS (SELECT doc_id, source, block_idx,
+        |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 3), f -> f[2:]) AS p3,
+        |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 5), f ->
+        |      coalesce(array_to_string(list_transform(f[2:], tk -> to_base(tk, 36)), ' '), '')) AS keys
+        |  FROM fs),
+        |childcnt AS (SELECT doc_id AS k, len(list_filter(tokens, x -> x = 2)) AS nb
+        |  FROM read_parquet('{GRAFT_OUT}/_tables/child_tokens/*.parquet')),
+        |kx AS (SELECT doc_id, block_idx, unnest(keys) AS k FROM m WHERE len(keys) > 0),
+        |kd AS (SELECT kx.doc_id, kx.block_idx, SUM(coalesce(childcnt.nb, 0)) AS nd
+        |  FROM kx LEFT JOIN childcnt ON kx.k = childcnt.k
+        |  GROUP BY kx.doc_id, kx.block_idx)
+        |SELECT m.doc_id, CAST(m.block_idx AS INT) AS block_idx,
+        |  CASE WHEN len(p3) > 0 THEN array_to_string(list_transform(p3,
+        |    p -> coalesce(array_to_string(list_transform(p, tk -> to_base(tk, 36)), ' '), '')), '|') END AS Names_text,
+        |  CASE WHEN len(p3) > 0 THEN CAST(len(p3) AS INT) END AS Names_count,
+        |  CAST(coalesce(kd.nd, 0) AS INT) AS n_details
+        |FROM m LEFT JOIN kd ON m.doc_id = kd.doc_id AND m.block_idx = kd.block_idx
+        |ORDER BY m.doc_id, block_idx""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -93,7 +189,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, rnk
+        |  CAST(o_totalprice AS DECIMAL(38,2)) AS o_totalprice, rnk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        ROW_NUMBER() OVER (PARTITION BY o_custkey
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -142,7 +238,7 @@ object SparkEntry {
     "q_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
-        |    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
         |           OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sessions AS (
@@ -162,7 +258,28 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
+    // mirrors Dedup.jaccardPairs incl. the df<=100 hot-shingle cap
+    // (intersections counted over cold shingles; n1/n2 = full sizes)
     "jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN cold USING (s)),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2
+        |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2
+        |ORDER BY d1, d2""".stripMargin,
+    // minhash_lsh verifies candidates with EXACT Jaccard at the same
+    // threshold, so on a corpus where LSH recall is 1 (planted dups,
+    // deterministic — holds for this data) its output equals the
+    // exact uncapped pair set
+    "minhash_lsh" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s

@@ -15,12 +15,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Export the synthesized token table so DuckDB can oracle the
+    // token-domain queries: the driver only registers sfDir/*.parquet
+    // as views, but oracle SQL may read any absolute path — entries
+    // use the {GRAFT_OUT} placeholder, substituted here.
+    graft.queries.TokenEngine.docsFor(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/_tables/tokens")
+    graft.queries.TokenEngine.childUniverse(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/_tables/child_tokens")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.catalog.clearCache() // dedup queries cache shingle sets
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -34,8 +43,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

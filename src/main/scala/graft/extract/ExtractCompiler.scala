@@ -29,14 +29,6 @@ object ExtractCompiler {
 
   import TokenCodec._
 
-  /** 0-based positions i where arr[i] == token (higher-order filter —
-    * evaluated vectorized per row, stays inside the SQL engine).
-    * Empty-array guard: `sequence(0, -1)` is DESCENDING `[0, -1]` in
-    * Spark, which would index past an empty array. */
-  private def positionsOf(arr: Column, token: Int): Column =
-    when(size(arr) <= 0, array().cast("array<int>"))
-      .otherwise(filter(sequence(lit(0), size(arr) - 1), i => element_at(arr, i + 1) === lit(token)))
-
   /**
    * Segment each document into blocks: explode on RECORD_START.
    * Analog of DividePageByIntersection (reference scrape/divide.go:45-95)

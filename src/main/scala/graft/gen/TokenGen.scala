@@ -95,10 +95,17 @@ object TokenGen {
       while (f < nFields) {
         buf += TokenCodec.MIN_TAG + rng.nextInt(10)
         val payLen = if (rng.nextInt(33) == 0) 0 else 1 + rng.nextInt(20)
+        // ~1/12 of non-trivial fields carry the planted [100,101]
+        // bigram at a seeded offset — gives the TokenPattern extractor
+        // (regex find-all analog) a non-vacuous hit population
+        val plantAt =
+          if (payLen >= 2 && rng.nextInt(12) == 0) rng.nextInt(payLen - 1) else -1
         var p = 0
         while (p < payLen) {
-          buf += TokenCodec.MIN_PAYLOAD +
-            rng.nextInt(TokenCodec.VOCAB - TokenCodec.MIN_PAYLOAD)
+          buf += (if (p == plantAt) 100
+                  else if (p == plantAt + 1 && plantAt >= 0) 101
+                  else TokenCodec.MIN_PAYLOAD +
+                    rng.nextInt(TokenCodec.VOCAB - TokenCodec.MIN_PAYLOAD))
           p += 1
         }
         buf += TokenCodec.FIELD_DELIM

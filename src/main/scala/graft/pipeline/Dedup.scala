@@ -62,13 +62,32 @@ object Dedup {
    * intersections, compute |A∪B| from set sizes. Only documents
    * sharing ≥1 shingle ever meet. Emits (d1, d2, inter, n1, n2) for
    * pairs with Jaccard ≥ threshold; d1 < d2.
+   *
+   * Hot-shingle guard: shingles with document frequency > `maxDf` are
+   * dropped BEFORE the self-join. One boilerplate shingle shared by
+   * df documents produces O(df²) join rows on a single key — at
+   * corpus scale that one key is the whole job. A shingle in more
+   * than `maxDf` docs carries no discriminative signal for
+   * near-duplicate detection (standard practice); set sizes n1/n2
+   * stay the FULL distinct-shingle counts, and the DuckDB oracle
+   * applies the identical cap.
    */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      maxDf: Int = 100): DataFrame = {
     val sets = shingleSets(docs, n).cache()
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val a = inv.toDF("d1", "s")
-    val b = inv.toDF("d2", "s")
+    // df computed in the same shuffle key-space as the join; the
+    // semi-join keeps only cold shingles (df filter is map-side after
+    // the broadcasted frequency table at real scale — AQE converts)
+    val cold = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    // NB: a using-column join reorders output (key first) — select
+    // explicitly before positional renames
+    val capped = inv.join(cold, Seq("s"), "left_semi")
+      .select(col("doc_id"), col("s"))
+    val a = capped.toDF("d1", "s")
+    val b = capped.toDF("d2", "s")
     val inter = a.join(b, Seq("s")).filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     inter
@@ -76,7 +95,8 @@ object Dedup {
       .join(sizes.toDF("d2", "n2"), Seq("d2"))
       .filter(col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")) >= threshold)
-      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+      .select(col("d1"), col("d2"), col("inter"),
+        col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -124,26 +144,35 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
     val sets = shingleSets(docs, n).filter(size(col("sh")) > 0).cache()
-    val sig = sets.select(col("doc_id"), col("sh"),
+    // ONLY (doc_id, band, bkey) enters the band exchange — k ints per
+    // doc, as the module contract promises. The shingle sets stay in
+    // `sets` and are joined back by doc_id AFTER candidate dedup, so
+    // the (large) shingle text shuffles once per CANDIDATE side, never
+    // bands× per document. (Round-1 carried `sh` through the band
+    // self-join — the dominant shuffle at scale.)
+    val sig = sets.select(col("doc_id"),
       minhashSignature(col("sh"), k, seed).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sh"),
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(bIdx =>
         struct(lit(bIdx).as("band"),
           hash(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*))
         .as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bkey"))
-    val l = banded.toDF("d1", "sh1", "band", "bkey")
-    val r = banded.toDF("d2", "sh2", "band", "bkey")
+      .select(col("doc_id"), col("b.band"), col("b.bkey"))
+    val l = banded.toDF("d1", "band", "bkey")
+    val r = banded.toDF("d2", "band", "bkey")
     val cand = l.join(r, Seq("band", "bkey")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sh1"), col("sh2"))
+      .select(col("d1"), col("d2"))
       .dropDuplicates("d1", "d2")
     cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jacc", col("inter").cast("double") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .filter(col("jacc") >= threshold)
-      .select(col("d1"), col("d2"), col("inter"),
-        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .select(col("d1"), col("d2"), col("inter").cast("bigint").as("inter"),
+        size(col("sh1")).cast("bigint").as("n1"),
+        size(col("sh2")).cast("bigint").as("n2"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -169,15 +198,66 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Embedding-cosine near-dup pairs (exact): id-ordered self-join
-    * with the right side broadcast; cosine via the codegen'd custom
-    * expression. At cluster scale swap the broadcast for LSH
-    * bucketing (Similarity.lshCandidates) — exactness then holds only
-    * within buckets, which is the standard trade. */
-  def embedNearDup(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+  /**
+   * Embedding-cosine near-dup pairs, EXACT, with a distributed
+   * block-pair plan (the published 1-bucket-theta shape): rows hash
+   * into B blocks; the tiny (bi ≤ bj) task table is broadcast; both
+   * sides replicate ~B/2× and meet in a shuffle hash join on task id.
+   * No BroadcastNestedLoopJoin, no full-corpus broadcast, bounded
+   * per-task memory (2·n/B rows) — the round-1 plan broadcast the
+   * whole corpus and OOMs the moment n stops being tiny.
+   *
+   * Honest scale note: EXACT all-pairs at a weak threshold like 0.45
+   * is inherently O(n²) compares — no exact algorithm avoids that;
+   * this plan distributes those compares evenly with B ≈ √parallelism
+   * and keeps every operator a shuffle join. For realistic near-dup
+   * thresholds (≥0.8) use [[embedNearDupLsh]], the sub-quadratic
+   * scale path (recall < 1 by design, pinned in PipelineSpec).
+   */
+  def embedNearDup(emb: DataFrame, threshold: Double = 0.45, blocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val tasks = (for { i <- 0 until blocks; j <- i until blocks }
+      yield (i * blocks + j, i, j)).toDF("task", "bi", "bj")
+    val blocked = emb.select(col("vec_id"), col("embedding"),
+      pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
+    val a = blocked.join(broadcast(tasks), col("blk") === col("bi"))
+      .select(col("task"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = blocked.join(broadcast(tasks), col("blk") === col("bj"))
+      .select(col("task"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    // which element of a cross-block pair lands on side a vs b is
+    // decided by block, not id — order the ids explicitly via
+    // least/greatest; diagonal tasks (bi=bj) see both orientations,
+    // deduped after ordering
+    a.join(b, Seq("task"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(VectorExprs.cosineSim(col("va"), col("vb")) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Approximate near-dup pairs via hyperplane-LSH candidate buckets
+    * (Similarity.lshCandidates) + exact-cosine verify — the
+    * sub-quadratic 100 TB path. Output ⊆ [[embedNearDup]]; recall
+    * depends on (nTables, nPlanes) vs threshold and is pinned
+    * empirically in PipelineSpec. */
+  def embedNearDupLsh(
+      emb: DataFrame,
+      threshold: Double = 0.45,
+      nTables: Int = 24,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val buckets = Similarity.lshCandidates(emb, nTables, nPlanes, dim, seed)
+    val l = buckets.toDF("id_a", "tbl", "bucket")
+    val r = buckets.toDF("id_b", "tbl", "bucket")
+    val cand = l.join(r, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
       .filter(VectorExprs.cosineSim(col("va"), col("vb")) >= threshold)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))

@@ -49,7 +49,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -99,7 +99,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"))
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"))
       .orderBy(col("q_id"), col("rank"))
   }
 }

@@ -24,6 +24,11 @@ object TextAnalysis {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Counts/lengths export as BIGINT: DuckDB len()/length() are
+    * int64, Spark size()/length() int32 — physical-width parity for
+    * the driver's typed compare. */
+  private def i64(c: Column): Column = c.cast("bigint")
+
   private def countIn(ws: Column, vocab: Seq[String]): Column =
     size(filter(ws, w => vocab.foldLeft(lit(false))((acc, s) => acc || w === lit(s))))
 
@@ -32,10 +37,10 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(words(col("text"))).as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      i64(size(words(col("text")))).as("n_ws_tokens"),
+      i64(size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
         .as("n_re_tokens"),
-      length(col("text")).as("n_chars"))
+      i64(length(col("text"))).as("n_chars"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring: length, mean word length, punctuation ratio,
@@ -48,7 +53,7 @@ object TextAnalysis {
     val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
     docs.select(
       col("doc_id"),
-      nWords.as("n_words"),
+      i64(nWords).as("n_words"),
       (length(col("text")).cast("double") / nWords).as("mean_tok_len"),
       (nStop.cast("double") / nWords).as("stop_ratio"),
       (nPunct.cast("double") / greatest(length(col("text")), lit(1))).as("punct_ratio"),
@@ -63,7 +68,7 @@ object TextAnalysis {
     * (deterministic). Emits all scores for inspection. */
   def langId(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val scoreCols = StopWords.map { case (lang, sw) => countIn(ws, sw).as(s"score_$lang") }
+    val scoreCols = StopWords.map { case (lang, sw) => i64(countIn(ws, sw)).as(s"score_$lang") }
     val scored = docs.select((col("doc_id") +: col("lang").as("labeled_lang") +: scoreCols): _*)
     // argmax via greatest + first matching CASE (tie-break = StopWords order, lexicographic)
     val best = greatest(StopWords.map { case (l, _) => col(s"score_$l") }: _*)
@@ -97,6 +102,6 @@ object TextAnalysis {
   /** md5-only projection (SQL-oracle-friendly subset of fingerprint). */
   def fingerprintMd5(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("md5_fp"),
-      length(col("text")).as("n_chars"))
+      i64(length(col("text"))).as("n_chars"))
       .orderBy(col("doc_id"))
 }

@@ -35,6 +35,9 @@ object Pipeline {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embedNearDup(emb(spark, dir), threshold = 0.45)
 
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embedNearDupLsh(emb(spark, dir), threshold = 0.45)
+
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -57,8 +60,16 @@ object Pipeline {
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintMd5(docs(spark, dir))
 
+  /** Driver-facing winnow fingerprint: the selected-hash list exports
+    * as (count, md5-of-joined-list) — scalar images of the array
+    * (driver compare can't sort array cells); PipelineSpec pins the
+    * raw array semantics. */
   def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir))
+      .select(col("doc_id"), col("md5_fp"),
+        size(col("winnow_fp")).as("n_winnow"),
+        md5(array_join(transform(col("winnow_fp"), h => h.cast("string")), ","))
+          .as("winnow_md5"))
 
   def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
     val n = TokenEngine.scaleOf(dir) match {

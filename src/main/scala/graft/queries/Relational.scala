@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -21,6 +21,13 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Widen a decimal result column to decimal(38,scale) — the physical
+    * width DuckDB's SUM(DECIMAL) produces. Spark's sum(decimal(18,x))
+    * writes parquet decimal128(28,x); values are identical but the
+    * driver's hash is typed, so width alone fails it (round-1 lesson:
+    * 9 queries red on this). Applied to every FINAL decimal output. */
+  private def d38(c: Column, scale: Int): Column = c.cast(s"decimal(38,$scale)")
+
   /** Hash aggregate with partial (map-side) combine — the reference's
     * result-aggregation analog (SURVEY §2.5 A2). Decimal sums for
     * order-independent exactness vs the oracle. */
@@ -29,10 +36,15 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("sum_disc_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("b"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("d"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        d38(col("q"), 2).as("sum_qty"),
+        d38(col("b"), 2).as("sum_base_price"),
+        d38(col("d"), 4).as("sum_disc_price"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Multi-way equi join + agg (SURVEY §2.4 recast): fact ⋈ dims with
@@ -47,7 +59,8 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("tp"))
+      .select(col("n_name"), col("n_orders"), d38(col("tp"), 2).as("total_price"))
       .orderBy(col("n_name"))
   }
 
@@ -60,7 +73,8 @@ object Relational {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .select(col("p_brand"), col("n_items"), d38(col("q"), 2).as("sum_qty"))
       .orderBy(col("p_brand"))
   }
 
@@ -91,7 +105,10 @@ object Relational {
     ord.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"), col("rnk"))
+        d38(col("o_totalprice"), 2).as("o_totalprice"),
+        // DuckDB ROW_NUMBER() is BIGINT; Spark row_number is INT —
+        // align the physical width for the driver's typed hash
+        col("rnk").cast("bigint").as("rnk"))
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
@@ -103,7 +120,8 @@ object Relational {
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.withColumn("running_qty", sum(col("l_quantity").cast("decimal(18,2)")).over(w))
-      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        d38(col("running_qty"), 2).as("running_qty"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -141,9 +159,9 @@ object Relational {
       .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ -> UTC session time
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
       .select(unix_millis(col("w.start")).as("w_start"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), d38(col("tv"), 2).as("total_value"))
       .orderBy(col("w_start"), col("event_type"))
 
   /** Sliding window, 1 h length / 30 min slide — each event lands in
@@ -153,9 +171,9 @@ object Relational {
       .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ -> UTC session time
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
       .select(unix_millis(col("w.start")).as("w_start"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), d38(col("tv"), 2).as("total_value"))
       .orderBy(col("w_start"), col("event_type"))
 
   /** Session window per user with 30 min inactivity gap (W4; the
@@ -167,9 +185,9 @@ object Relational {
       .withColumn("ts", col("ts").cast("timestamp"))
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).as("tv"))
       .select(col("user_id"), unix_millis(col("w.start")).as("sess_start"),
-        unix_millis(col("w.end")).as("sess_end"), col("n"), col("total_value"))
+        unix_millis(col("w.end")).as("sess_end"), col("n"), d38(col("tv"), 2).as("total_value"))
       .orderBy(col("user_id"), col("sess_start"))
 
   /** Exact distinct counts (SURVEY §2.5 A5 — frontier dedup statistics,
@@ -187,6 +205,8 @@ object Relational {
     t(spark, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("t"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        d38(col("t"), 2).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 }

@@ -53,6 +53,23 @@ object TokenEngine {
     ExtractCompiler.compile(docsFor(spark, dir), flagshipSpec)
       .orderBy(col("doc_id"), col("block_idx"))
 
+  /** Driver-facing image of [[extractFlat]]: every array column
+    * projected to a scalar (the driver's pandas compare cannot sort
+    * array cells — round-1 `err` rows). Multi-valued text joins with
+    * '|' (the list→scalar collapse of the encoder boundary, reference
+    * encoders.go:305-330); token payloads keep their per-payload
+    * boundaries via a nested join. Array forms stay internal — the
+    * Scala-oracle tests pin them. */
+  def extractFlatDriver(spark: SparkSession, dir: String): DataFrame =
+    extractFlat(spark, dir).select(
+      col("doc_id"), col("source"), col("block_idx"),
+      array_join(col("Names_text"), "|").as("Names_text"),
+      array_join(transform(col("Names_tokens"), p =>
+        array_join(transform(p, t => t.cast("string")), " ")), "|").as("Names_tokens"),
+      col("Names_count"), col("Names_const"),
+      array_join(col("Images_text"), "|").as("Images_text"),
+      col("Images_count"))
+
   /** Consistency predicate from input_hint: size(tokens) = n_tok, and
     * per-source document stats (the per-source extraction-count
     * aggregate of north_star, batch form). */
@@ -73,30 +90,46 @@ object TokenEngine {
     * broadcast — the detail-page universe is far smaller than the
     * parent block count (many parents share detail pages), which also
     * removes hot-link-key join skew. */
-  def detailsJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The details-traversal parent/child specs (shared with Verify's
+    * child-universe export so the DuckDB oracle sees the same child
+    * docs). */
+  val detailsParentSpec: ExtractionSpec = ExtractionSpec("with_details", Seq(
+    FieldSpec("Names", selector = 3, types = Seq(ExtractorType.Text, ExtractorType.Count)),
+    FieldSpec("Links", selector = 5, types = Seq(ExtractorType.Path))))
+  val detailsChildSpec: ExtractionSpec = ExtractionSpec("detail", Seq(
+    FieldSpec("Phones", selector = 6, types = Seq(ExtractorType.Text, ExtractorType.Count))))
+
+  /** Child-doc universe reachable from the flagship details spec:
+    * distinct extracted Path keys resolved through the deterministic
+    * key→page function (TokenGen.childDocs). */
+  def childUniverse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val parentSpec = ExtractionSpec("with_details", Seq(
-      FieldSpec("Names", selector = 3, types = Seq(ExtractorType.Text, ExtractorType.Count)),
-      FieldSpec("Links", selector = 5, types = Seq(ExtractorType.Path))))
-    val parents = ExtractCompiler.compile(docsFor(spark, dir), parentSpec)
+    val parents = ExtractCompiler.compile(docsFor(spark, dir), detailsParentSpec)
     val keys = parents.select(explode(col("__path_Links")).as("k")).as[String]
-    val childSpec = ExtractionSpec("detail", Seq(
-      FieldSpec("Phones", selector = 6, types = Seq(ExtractorType.Text, ExtractorType.Count))))
+    graft.gen.TokenGen.childDocs(spark, keys)
+  }
+
+  def detailsJoin(spark: SparkSession, dir: String): DataFrame = {
+    val parents = ExtractCompiler.compile(docsFor(spark, dir), detailsParentSpec)
     val childBlocks = ExtractCompiler.compile(
-      graft.gen.TokenGen.childDocs(spark, keys), childSpec)
+      childUniverse(spark, dir), detailsChildSpec)
     // broadcast only while the child-block side is genuinely small;
     // at sf>=0.1 the link universe is ~1 child doc per parent doc, so
     // the nested side is fact-sized -> sort-merge join on link_key
     graft.streaming.Details
       .joinBatch(parents, "Links", childBlocks,
         broadcastChildren = scaleOf(dir) < 0.1)
-      .select(col("doc_id"), col("block_idx"), col("Names_text"), col("Names_count"),
+      .select(col("doc_id"), col("block_idx"),
+        array_join(col("Names_text"), "|").as("Names_text"), col("Names_count"),
         size(col("Links_details")).as("n_details"))
       .orderBy(col("doc_id"), col("block_idx"))
   }
 
   /** Token-pattern find-all (the regex analog, P3) — positions of a
-    * 2-token subsequence within Names payloads. */
+    * 2-token subsequence within Names payloads. The generator plants
+    * the [100,101] bigram at a seeded rate (TokenGen.docTokens) so the
+    * driver row is non-vacuous; positions export as a joined string
+    * (scalar, driver-compare-safe). */
   def tokenPattern(spark: SparkSession, dir: String): DataFrame = {
     val spec = ExtractionSpec("pattern_scan", Seq(
       FieldSpec("Names", selector = 3,
@@ -104,6 +137,11 @@ object TokenEngine {
         includeIfEmpty = true)))
     ExtractCompiler.compile(docsFor(spark, dir), spec)
       .filter(size(col("Names_pattern")) > 0)
+      .select(col("doc_id"), col("source"), col("block_idx"),
+        size(col("Names_pattern")).as("n_hits"),
+        array_join(transform(col("Names_pattern"), p => p.cast("string")), ",")
+          .as("hit_positions"),
+        col("Names_count"))
       .orderBy(col("doc_id"), col("block_idx"))
   }
 }

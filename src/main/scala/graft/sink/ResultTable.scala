@@ -59,10 +59,16 @@ final class ResultTable(val root: String) {
   def isCommitted(queryId: String, batchId: Long): Boolean =
     Files.exists(commitPath(queryId, batchId))
 
+  /** Materialized directory listing (Files.list streams hold an open
+    * directory fd until closed — a long-lived streaming job commits
+    * thousands of micro-batches and would leak one fd per commit). */
+  private def listDir(dir: Path): Seq[Path] =
+    scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
+
   /** All data files referenced by committed manifests. */
   def committedFiles(): Seq[String] = {
-    val commits = Files.list(commitDir).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.getFileName.toString)
+    val commits = listDir(commitDir)
+      .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
     commits.flatMap { c =>
       Files.readString(c).linesIterator.filter(_.startsWith("file:")).map(_.drop(5))
     }
@@ -91,8 +97,8 @@ final class ResultTable(val root: String) {
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_part_id", spark_partition_id())
       .write.mode("overwrite").parquet(target.toString)
-    val files = Files.list(target).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val files = listDir(target)
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
     val manifest =
       (Seq(s"queryId:$queryId", s"batchId:$batchId") ++ files.map("file:" + _))
         .mkString("\n")

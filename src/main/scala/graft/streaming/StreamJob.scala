@@ -98,8 +98,17 @@ object StreamJob {
         limited.filter(col("event_time") >= lit(new java.sql.Timestamp(maxEvent.getTime - delayMs)))
       case None => limited
     }
+    // first-arrival wins, deterministically: the fused stitcher keeps
+    // the earliest event_time per (doc_id, page_idx); a bare
+    // dropDuplicates keeps an arbitrary row, and event_time flows into
+    // the output — latent flakiness if partitioning changes which
+    // duplicate survives
+    val firstArrival = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("page_idx"))
+      .orderBy(col("event_time"), col("frag_idx"))
     val docs = pruned.toDF()
-      .dropDuplicates("doc_id", "page_idx")
+      .withColumn("__rn", row_number().over(firstArrival))
+      .filter(col("__rn") === 1).drop("__rn")
       .groupBy(col("doc_id"), col("source"))
       .agg(
         sort_array(collect_list(struct(col("page_idx"), col("tokens")))).as("parts"),

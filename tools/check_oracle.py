@@ -29,6 +29,21 @@ for name, sql in sorted(oracle.items()):
     gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
     if gcols != ecols:
         print(f"FAIL {name}: schema mismatch got={gcols} exp={ecols}"); fail += 1; continue
+    # the driver's hash is TYPED (round 1: decimal128(28,x) vs (38,x)
+    # failed 9 value-identical queries) and its pandas sort crashes on
+    # nested cells — reproduce both failure modes here
+    import pyarrow.types as pt
+    nested = [c for c in gcols
+              if pt.is_nested(got.schema.field(c).type)]
+    if nested:
+        print(f"FAIL {name}: nested output columns crash driver compare: {nested}")
+        fail += 1; continue
+    tdiff = [(c, str(got.schema.field(c).type), str(exp.schema.field(c).type))
+             for c in gcols
+             if got.schema.field(c).type != exp.schema.field(c).type]
+    if tdiff:
+        print(f"FAIL {name}: typed-schema mismatch (col, got, exp): {tdiff}")
+        fail += 1; continue
     if got.num_rows != exp.num_rows:
         print(f"FAIL {name}: rows got={got.num_rows} exp={exp.num_rows}"); fail += 1; continue
     def norm(tbl):
