@@ -36,6 +36,7 @@ object SparkEntry {
     // token-domain engine (north_star pipeline, batch form) — Scala-oracle-checked
     "extract_flat" -> (TokenEngine.extractFlatDriver _),
     "source_stats" -> (TokenEngine.sourceStats _),
+    "tag_histogram" -> (TokenEngine.tagHistogram _),
     "token_pattern" -> (TokenEngine.tokenPattern _),
     "details_join" -> (TokenEngine.detailsJoin _),
     // training-data pipeline (dedup / similarity / text analysis /
@@ -96,6 +97,12 @@ object SparkEntry {
         |FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet')
         |WHERE len(tokens) = n_tok
         |GROUP BY source ORDER BY source""".stripMargin,
+    "tag_histogram" ->
+      """SELECT source, CAST(t AS INT) AS tag, COUNT(*) AS n
+        |FROM (SELECT source, unnest(tokens) AS t
+        |      FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet'))
+        |WHERE t >= 3 AND t < 13
+        |GROUP BY source, t ORDER BY source, tag""".stripMargin,
     "token_pattern" -> (tokenCte +
       """,
         |m AS (SELECT doc_id, source, block_idx,

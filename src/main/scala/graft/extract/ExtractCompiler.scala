@@ -131,9 +131,16 @@ object ExtractCompiler {
     SpecValidator.validate(spec)
     val blocks = segment(docs)
     // fields2parts cross product (scrape.go:220-261); in IsPath mode
-    // only path fields are compiled (scrape.go:223-226)
-    val compiled = spec.fields.filter(f =>
-      !spec.isPath || f.types.contains(ExtractorType.Path) || f.details.nonEmpty)
+    // only path fields are compiled (scrape.go:223-226); a field
+    // carrying a nested Details spec is implicitly a link field —
+    // the reference compiles it through its href/path extractor
+    // (scrape.go:279-292) — so the Path projection is added if absent
+    val compiled = spec.fields
+      .filter(f => !spec.isPath || f.types.contains(ExtractorType.Path) || f.details.nonEmpty)
+      .map(f =>
+        if (f.details.nonEmpty && !f.types.contains(ExtractorType.Path))
+          f.copy(types = f.types :+ ExtractorType.Path)
+        else f)
 
     // Materialize shared subexpressions as real columns, each its own
     // projection step: the field split once per block, then matched
@@ -160,6 +167,37 @@ object ExtractCompiler {
     if (parts.isEmpty) throw new SpecException("no parts found")
     val carry = docs.columns.filter(_ != "tokens").map(col) :+ col("block_idx")
     withTags.select(carry ++ parts: _*)
+  }
+
+  /**
+   * Recursive compile consuming [[FieldSpec.details]] — the analog of
+   * the reference's nested-Scraper recursion (scrape/scrape.go:279-292
+   * compile, 586-654 traversal): for every field with a nested spec,
+   * the extracted Path keys resolve to child documents, the child spec
+   * compiles RECURSIVELY (a grandchild details field nests again), and
+   * the child blocks join back as `<field>_details` ordered structs
+   * (Details.joinBatch — the encoder nesting, encoders.go:193-227).
+   *
+   * @param resolve link keys → child document frame (input_hint
+   *   schema); in production a lookup against the same or another
+   *   table, here TokenGen.childDocs' deterministic key→page function
+   * @param broadcastChildren hint when the child universe is known
+   *   small (detail pages ≪ listing rows — removes hot-key join skew)
+   */
+  def compileWithDetails(
+      docs: DataFrame,
+      spec: ExtractionSpec,
+      resolve: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.Dataset[String]) => DataFrame,
+      broadcastChildren: Boolean = true): DataFrame = {
+    val base = compile(docs, spec)
+    spec.fields.filter(_.details.nonEmpty).foldLeft(base) { (df, f) =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val keys = df.select(explode(col(s"__path_${f.name}")).as("k")).as[String]
+      val childDocs = resolve(spark, keys)
+      val childBlocks = compileWithDetails(childDocs, f.details.get, resolve, broadcastChildren)
+      graft.streaming.Details.joinBatch(df, f.name, childBlocks, broadcastChildren)
+    }
   }
 
 }

@@ -90,6 +90,19 @@ object TokenEngine {
     * broadcast — the detail-page universe is far smaller than the
     * parent block count (many parents share detail pages), which also
     * removes hot-link-key join skew. */
+  /** Per-source selector-tag histogram via the custom typed
+    * `Aggregator` UDAF (SURVEY §2.10 — graft.functions.TagHistogram):
+    * one constant-width buffer per source, partial-merged map-side,
+    * exploded to (source, tag, n) rows for the driver compare. */
+  def tagHistogram(spark: SparkSession, dir: String): DataFrame =
+    docsFor(spark, dir)
+      .groupBy(col("source"))
+      .agg(graft.functions.TagHistogram.tagHistogram(col("tokens")).as("hist"))
+      .select(col("source"), posexplode(col("hist")).as(Seq("tag_off", "n")))
+      .select(col("source"), (col("tag_off") + TokenCodec.MIN_TAG).cast("int").as("tag"), col("n"))
+      .filter(col("n") > 0)
+      .orderBy(col("source"), col("tag"))
+
   /** The details-traversal parent/child specs (shared with Verify's
     * child-universe export so the DuckDB oracle sees the same child
     * docs). */
@@ -110,14 +123,19 @@ object TokenEngine {
   }
 
   def detailsJoin(spark: SparkSession, dir: String): DataFrame = {
-    val parents = ExtractCompiler.compile(docsFor(spark, dir), detailsParentSpec)
-    val childBlocks = ExtractCompiler.compile(
-      childUniverse(spark, dir), detailsChildSpec)
-    // broadcast only while the child-block side is genuinely small;
-    // at sf>=0.1 the link universe is ~1 child doc per parent doc, so
-    // the nested side is fact-sized -> sort-merge join on link_key
-    graft.streaming.Details
-      .joinBatch(parents, "Links", childBlocks,
+    // declarative nesting: the Links field carries the child spec and
+    // the compiler recurses (reference scrape/scrape.go:279-292) — no
+    // hand-assembled join. Broadcast only while the child-block side
+    // is genuinely small; at sf>=0.1 the link universe is ~1 child doc
+    // per parent doc, so the nested side is fact-sized -> sort-merge
+    // join on link_key.
+    val spec = ExtractionSpec("with_details", Seq(
+      FieldSpec("Names", selector = 3, types = Seq(ExtractorType.Text, ExtractorType.Count)),
+      FieldSpec("Links", selector = 5, types = Seq(ExtractorType.Path),
+        details = Some(detailsChildSpec))))
+    ExtractCompiler
+      .compileWithDetails(docsFor(spark, dir), spec,
+        (s, keys) => graft.gen.TokenGen.childDocs(s, keys),
         broadcastChildren = scaleOf(dir) < 0.1)
       .select(col("doc_id"), col("block_idx"),
         array_join(col("Names_text"), "|").as("Names_text"), col("Names_count"),

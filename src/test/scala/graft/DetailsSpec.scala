@@ -70,6 +70,42 @@ class DetailsSpec extends SparkSuite {
     assert(df.filter($"doc_id" === "5K").head().getAs[scala.collection.Seq[Int]]("tokens") == a)
   }
 
+  test("declarative 2-level nested details: compiler recurses through FieldSpec.details") {
+    // universe: parent p1 --(5K)--> child --(8C)--> grandchild.
+    // The child's Sub field has NO explicit Path type — the compiler
+    // must add it implicitly because the field carries a details spec
+    // (reference: a Field with Details is a link field, scrape.go:279-292).
+    val universe = Seq(
+      ("5K", Array(2, 6, 111, 1, 5, 300, 1)), // Phones="33", link 300->"8C"
+      ("8C", Array(2, 7, 113, 1))             // grandchild G="35"
+    ).toDF("doc_id", "tokens")
+    def resolve(s: org.apache.spark.sql.SparkSession,
+        keys: org.apache.spark.sql.Dataset[String]) =
+      universe.join(keys.toDF("doc_id"), Seq("doc_id"), "left_semi")
+
+    val grandSpec = ExtractionSpec("g", Seq(FieldSpec("G", 7, Seq(ExtractorType.Text))))
+    val childSpec2 = ExtractionSpec("c", Seq(
+      FieldSpec("Phones", 6, Seq(ExtractorType.Text)),
+      FieldSpec("Sub", 5, Seq(ExtractorType.Text), details = Some(grandSpec))))
+    val spec = ExtractionSpec("p", Seq(
+      FieldSpec("Names", 3, Seq(ExtractorType.Text)),
+      FieldSpec("Links", 5, Seq(ExtractorType.Path), details = Some(childSpec2))))
+
+    val out = ExtractCompiler.compileWithDetails(
+      Seq(("p1", Array(2, 3, 100, 1, 5, 200, 1))).toDF("doc_id", "tokens"),
+      spec, resolve _).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(!row.schema.fieldNames.exists(_.startsWith("__path_")),
+      "path keys are join-only at every level")
+    val kids = row.getAs[scala.collection.Seq[Row]]("Links_details")
+    assert(kids.length == 1, s"one child block, got ${kids.length}")
+    assert(kids.head.getAs[scala.collection.Seq[String]]("Phones_text") == Seq("33"))
+    val grand = kids.head.getAs[scala.collection.Seq[Row]]("Sub_details")
+    assert(grand.length == 1, "one grandchild block")
+    assert(grand.head.getAs[scala.collection.Seq[String]]("G_text") == Seq("35"))
+  }
+
   test("streaming details join: watermarked band join matches in-band children only") {
     def ts(s: Long) = new Timestamp(TokenGen.BASE_EPOCH_MS + s * 1000L)
     val links = MemoryStream[(String, String, Timestamp)]

@@ -59,6 +59,83 @@ class PipelineSpec extends SparkSuite {
     assert(lsh.subsetOf(exact), "verification stage must kill sub-threshold candidates")
   }
 
+  test("minhash LSH band exchange carries only ids + band keys, never shingle sets") {
+    // round-1 scale-killer: the band self-join shuffled the full
+    // shingle array bands× per doc. The contract now: any exchange
+    // whose output includes the band key moves (doc_id, band, bkey)
+    // ints only; shingle sets re-join AFTER candidate dedup.
+    // AQE wraps the plan in an opaque adaptive node; disable it here so
+    // executedPlan is the traversable tree WITH Exchange nodes inserted
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Dedup.minhashLsh(plantedDocs, n = 3, threshold = 0.5)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val exchanges = plan.collect {
+      // broadcast or shuffle — at test scale the band join broadcasts;
+      // either way the exchanged payload is what must stay narrow
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    val bandExchanges = exchanges.filter(_.output.exists(_.name == "bkey"))
+    assert(bandExchanges.nonEmpty, s"expected band-bucket exchanges:\n$plan")
+    bandExchanges.foreach { e =>
+      val arrayCols = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"band exchange must not carry arrays, found ${arrayCols.map(_.name)}:\n$e")
+    }
+  }
+
+  test("embedding near-dup default plan has no nested-loop join and no corpus broadcast") {
+    val emb = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val p = Dedup.embedNearDup(emb).queryExecution.sparkPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"round-1 scale-killer resurfaced (BNLJ):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+    // the only broadcast allowed is the tiny (bi<=bj) task table
+    val bcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(bcasts <= 2, s"corpus side must not broadcast:\n$p")
+  }
+
+  test("embedding near-dup LSH variant: subset of exact, finds planted high-cos pairs") {
+    val v1 = Array.tabulate(64)(i => (i + 1).toFloat)
+    val v1b = v1.map(_ * 1.001f)
+    val rng = new scala.util.Random(7)
+    val noise = Seq.tabulate(20)(i =>
+      ((i + 10).toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val emb = (Seq((1L, v1), (2L, v1b)) ++ noise).toDF("vec_id", "embedding")
+    val exact = Dedup.embedNearDup(emb, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embedNearDupLsh(emb, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "exact-cosine verify must kill false candidates")
+    assert(lsh.contains((1L, 2L)),
+      "cos≈1 pair collides in some band of 24 tables with overwhelming probability")
+  }
+
+  test("jaccard hot-shingle cap: pairs supported only by boilerplate shingles disappear") {
+    // 6 docs share ONE hot trigram ("shared boiler plate"); with the
+    // cap below its df the pair support vanishes; distinctive overlap
+    // (docs 1,2) survives
+    val boiler = "shared boiler plate"
+    val docs = (
+      Seq(
+        (1L, s"$boiler alpha beta gamma delta"),
+        (2L, s"$boiler alpha beta gamma epsilon")) ++
+        Seq.tabulate(4)(i => (3L + i, s"$boiler unique$i only$i words$i"))
+      ).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(docs, n = 3, threshold = 0.1, maxDf = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "distinctive overlap must survive the cap")
+    assert(!capped.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"boilerplate-only pairs must be suppressed, got $capped")
+    val uncapped = Dedup.jaccardPairs(docs, n = 3, threshold = 0.1, maxDf = 1000)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists(p => p._1 >= 3L || p._2 >= 3L),
+      "sanity: without the cap the hot shingle does pair boilerplate docs")
+  }
+
   test("minhash signature is a narrow plan (no shuffle before banding)") {
     val sets = Dedup.shingleSets(plantedDocs)
     val sig = sets.select(Dedup.minhashSignature(col("sh")).as("sig"))
@@ -150,6 +227,31 @@ class PipelineSpec extends SparkSuite {
     val stats = Multimodal.kindStats(Multimodal.extractFeatures(back)).collect()
     assert(stats.map(_.getString(0)).toSet.subsetOf(Set("image", "audio", "video")))
     assert(stats.map(_.getLong(1)).sum == 50)
+  }
+
+  test("tag-histogram UDAF: typed Aggregator matches manual counts; SQL-registered form agrees") {
+    val docs = Seq(
+      ("d1", "s1", Array(2, 3, 100, 1, 4, 200, 1)),   // tags 3, 4
+      ("d2", "s1", Array(2, 3, 300, 1, 3, 400, 1)),   // tags 3, 3
+      ("d3", "s2", Array(2, 12, 500, 1))              // tag 12
+    ).toDF("doc_id", "source", "tokens")
+    val got = docs.groupBy($"source")
+      .agg(graft.functions.TagHistogram.tagHistogram($"tokens").as("hist"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("s1") == Seq(3L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), s"s1: ${got("s1")}")
+    assert(got("s2") == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    // payload tokens (100..500) and structurals (1, 2) never count
+    graft.functions.TagHistogram.register(spark)
+    docs.createOrReplaceTempView("taghist_docs")
+    val viaSql = spark.sql(
+      "SELECT source, tag_histogram(tokens) FROM taghist_docs GROUP BY source")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(viaSql == got, "udaf registration must agree with the Column form")
+    // partial merge: plan shows two-phase aggregation like a builtin
+    val plan = docs.groupBy($"source")
+      .agg(graft.functions.TagHistogram.tagHistogram($"tokens"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"UDAF must partial-aggregate map-side:\n$plan")
   }
 
   test("quality buckets: planted degenerate docs classify correctly") {

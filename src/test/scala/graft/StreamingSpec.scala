@@ -190,6 +190,71 @@ class StreamingSpec extends SparkSuite {
     assert(r.filter($"_batch_id" === 1L).count() == 1)
   }
 
+  test("session jar: cookies persist per user_token, hydrate before merge, expire on TTL") {
+    val mem = MemoryStream[CookieEvent]
+    val out = SessionJar.hydrate(mem.toDS(), ttlMs = 60000L, watermarkDelay = "5 seconds")
+    val q = out.writeStream.format("memory").queryName("jar_t").outputMode("append").start()
+    try {
+      def ev(tok: String, doc: String, sec: Long, set: String*) =
+        CookieEvent(tok, doc, ts(sec), set.toArray)
+      // u1: r1 sets a cookie; r2 (later, same batch, added out of order)
+      // must see it but not its own; u2 independent
+      mem.addData(ev("u1", "r2", 10, "b=2"), ev("u1", "r1", 5, "a=1"),
+        ev("u2", "s1", 5))
+      q.processAllAvailable()
+      // u1 next batch: sees a=1 AND b=2; overwrite a
+      mem.addData(ev("u1", "r3", 20, "a=9"))
+      q.processAllAvailable()
+      // beyond TTL (60s after last event): jar must be empty again
+      mem.addData(ev("u1", "r4", 200))
+      q.processAllAvailable()
+      val rows = spark.table("jar_t").as[HydratedEvent].collect()
+        .map(e => e.doc_id -> e.jar.toSeq.sorted).toMap
+      assert(rows("r1") == Seq(), "first request hydrates an empty jar")
+      assert(rows("r2") == Seq("a=1"), "in-batch order is event-time order")
+      assert(rows("s1") == Seq(), "tokens are isolated")
+      assert(rows("r3") == Seq("a=1", "b=2"), "jar persisted across batches")
+      assert(rows("r4") == Seq(), s"TTL must empty the jar, got ${rows("r4")}")
+    } finally q.stop()
+  }
+
+  test("dead-letter: poisoned fragments neither crash the pipeline nor vanish") {
+    val base = Files.createTempDirectory("graft-dlq")
+    val table = new ResultTable(base.resolve("t").toString)
+    val quar = new ResultTable(base.resolve("q").toString)
+    val mem = MemoryStream[Fragment]
+    val (qMain, qDlq) = DeadLetter.runWithQuarantine(
+      mem.toDS(), spec, table, quar,
+      base.resolve("ck_main").toString, base.resolve("ck_dlq").toString, "dlq",
+      watermarkDelay = "5 seconds", sessionGapMs = 5000L,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      val poisonBadCount = Fragment("poison_count", Array(2, 3, 100, 1), 99, "s1",
+        ts(100), 0, 0, is_dup = false, is_late = false)
+      val poisonEmpty = Fragment("poison_empty", Array.empty, 0, "s1",
+        ts(101), 0, 0, is_dup = false, is_late = false)
+      val poisonRange = Fragment("poison_range", Array(2, 3, 40000, 1), 4, "s1",
+        ts(102), 0, 0, is_dup = false, is_late = false)
+      mem.addData(frag("clean1", 0, d2, 100), poisonBadCount, poisonEmpty, poisonRange)
+      qMain.processAllAvailable(); qDlq.processAllAvailable()
+      mem.addData(frag("~flush", 0, Array(2), 1000))
+      qMain.processAllAvailable()
+      mem.addData(frag("~flush2", 0, Array(2), 2000))
+      qMain.processAllAvailable()
+
+      val mainDocs = table.read(spark).select("doc_id").as[String].collect().toSet
+      assert(mainDocs.contains("clean1"), "clean row must flow through")
+      assert(!mainDocs.exists(_.startsWith("poison")),
+        "poisoned rows must not reach the result table")
+      val statuses = quar.read(spark).select("doc_id", "status")
+        .as[(String, String)].collect().toMap
+      assert(statuses == Map(
+        "poison_count" -> DeadLetter.BadTokenCount,
+        "poison_empty" -> DeadLetter.EmptyPayload,
+        "poison_range" -> DeadLetter.TokenOutOfRange), s"got $statuses")
+    } finally { qMain.stop(); qDlq.stop() }
+  }
+
   test("end-to-end kill-and-resume from checkpoint: no dupes, no loss, token-array equality") {
     val base = Files.createTempDirectory("graft-e2e")
     val inDir = base.resolve("in").toString
