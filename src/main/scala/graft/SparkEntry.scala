@@ -97,6 +97,31 @@ object SparkEntry {
         |FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet')
         |WHERE len(tokens) = n_tok
         |GROUP BY source ORDER BY source""".stripMargin,
+    // candidate generation = the exported deterministic bucket table;
+    // ranking/top-k recomputed by DuckDB from raw embeddings
+    "ann_lsh" ->
+      """WITH b AS (SELECT * FROM read_parquet('{GRAFT_OUT}/_tables/ann_buckets/*.parquet')),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |scored AS (SELECT q_id, n_id,
+        |    list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+        |  FROM cand
+        |  JOIN embeddings eq ON q_id = eq.vec_id
+        |  JOIN embeddings ec ON n_id = ec.vec_id),
+        |r AS (SELECT q_id, n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // counts + byte totals recomputed from the exported binary
+    // payloads (verifies the binary schema round-trip); dim is the
+    // spec constant of the stubbed 64-wide feature vector
+    "multimodal_stats" ->
+      """SELECT kind, COUNT(*) AS n,
+        |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+        |  CAST(64 AS INT) AS dim
+        |FROM read_parquet('{GRAFT_OUT}/_tables/media/*.parquet')
+        |GROUP BY kind ORDER BY kind""".stripMargin,
     "tag_histogram" ->
       """SELECT source, CAST(t AS INT) AS tag, COUNT(*) AS n
         |FROM (SELECT source, unnest(tokens) AS t

@@ -23,6 +23,15 @@ object Verify {
       .write.mode("overwrite").parquet(s"$outDir/_tables/tokens")
     graft.queries.TokenEngine.childUniverse(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/_tables/child_tokens")
+    graft.pipeline.Multimodal
+      .synthesize(spark, graft.queries.Pipeline.mediaCount(sfDir))
+      .write.mode("overwrite").parquet(s"$outDir/_tables/media")
+    // deterministic hyperplane buckets of the embeddings corpus: lets
+    // DuckDB rank the SAME candidate set independently (the bucketing
+    // itself is seeded-constant, verified by the recall test)
+    graft.pipeline.Similarity
+      .lshCandidates(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .write.mode("overwrite").parquet(s"$outDir/_tables/ann_buckets")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -61,6 +61,82 @@ object VectorKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Hyperplane-LSH bucket id: bit p of the result is 1 iff
+    * dot(v, planes(p)) >= 0. Sign of the dot equals sign of the
+    * cosine (norms are positive), so this matches thresholding
+    * cosineSim at 0 while skipping both norm computations — and all
+    * planes of one table fold into a single pass over the vector. */
+  def hyperBucket(v: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    val x = if (isFloat) {
+      val f = v.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i); i += 1 }
+      d
+    } else v.toDoubleArray()
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(x.length, pl.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x(i) * pl(i); i += 1 }
+      if (dot >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct n-word shingles in first-occurrence order — one pass,
+    * matching array_distinct(transform(sequence..., concat_ws)) and
+    * the DuckDB oracle's list_distinct(list_transform(...)) exactly.
+    * words shorter than n → empty set. */
+  def shingleSet(words: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  /** MinHash signature in one pass: per shingle, h = pmod(xxhash64(s),
+    * p) (Spark's XXH64, seed 42 — byte-identical to the SQL function);
+    * sig(j) = min over shingles of pmod(a(j)*h + b(j), p). Replaces a
+    * k× interpreted higher-order transform per row (the dominant
+    * minhash cost: docs × shingles × k expression-tree evals).
+    * All intermediates < 2^62 (a, b, h < p = 2^31-1): no overflow. */
+  def minhashSig(sh: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val k = a.length
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      val raw = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h = ((raw % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic across JVMs /
     * engines (same recipe as the generator's doc hash). */
   def fnv1a64(s: UTF8String): Long = {
@@ -115,4 +191,10 @@ object VectorExprs {
     org.apache.spark.sql.graft.GraftExpressions.cosineSim(a, b)
   def simhash64(words: Column): Column =
     org.apache.spark.sql.graft.GraftExpressions.simhash64(words)
+  def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.GraftExpressions.hyperplaneBucket(v, planes)
+  def minhashSig(sh: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    org.apache.spark.sql.graft.GraftExpressions.minhashSig(sh, a, b, p)
+  def shingleSet(words: Column, n: Int): Column =
+    org.apache.spark.sql.graft.GraftExpressions.shingleSet(words, n)
 }

@@ -43,18 +43,27 @@ object Dedup {
     * string_split: empty strings preserved). */
   def words(textCol: Column): Column = split(textCol, " ")
 
-  /** Distinct n-word shingles of a document, as strings. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val w = words(textCol)
-    array_distinct(
-      when(size(w) < n, array().cast("array<string>")).otherwise(
-        transform(sequence(lit(0), size(w) - n), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
-  }
+  /** Distinct n-word shingles of a document, as strings — fused
+    * codegen kernel (the array_distinct(transform(sequence...)) chain
+    * is interpreted and was a large share of every dedup query). */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    graft.functions.VectorExprs.shingleSet(words(textCol), n)
 
   /** doc_id + distinct shingle set (shared by jaccard + minhash). */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+
+  /** Cache + eager materialization: the shingle computation is an
+    * interpreted higher-order-function chain referenced from several
+    * subtrees of ONE job — a lazy cache() loses the race (each subtree
+    * scan starts before any fills the cache) and the chain evaluates
+    * per subtree. One cheap narrow pass up front makes every reuse a
+    * cache hit. Caller (Verify/Bench) clears caches per query. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    cached.count()
+    cached
+  }
 
   /**
    * Exact n-gram Jaccard pairs via inverted index: explode shingles,
@@ -74,7 +83,7 @@ object Dedup {
    */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       maxDf: Int = 100): DataFrame = {
-    val sets = shingleSets(docs, n).cache()
+    val sets = materialized(shingleSets(docs, n))
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     // df computed in the same shuffle key-space as the join; the
@@ -117,15 +126,15 @@ object Dedup {
    * MinHash signatures computed narrow (no shuffle): per permutation
    * i, sig[i] = (a_i * h + b_i) mod p minimized over shingle hashes
    * h = xxhash64(sh) mod p. All intermediates < 2^62 — no overflow.
+   * One fused codegen kernel per row — the equivalent k× interpreted
+   * higher-order transform dominated the whole minhash query
+   * (docs × shingles × k expression evals; same lesson as the
+   * extraction TokenKernels).
    */
   def minhashSignature(sh: Column, k: Int = 32, seed: Long = 42L): Column = {
     val params = minhashParams(k, seed)
-    val hashes = transform(sh, s => pmod(xxhash64(s), lit(MinhashP)))
-    array(params.map { case (a, b) =>
-      coalesce(
-        array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MinhashP)))),
-        lit(Long.MaxValue))
-    }: _*)
+    graft.functions.VectorExprs.minhashSig(
+      sh, params.map(_._1).toArray, params.map(_._2).toArray, MinhashP)
   }
 
   /**
@@ -143,7 +152,7 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L): DataFrame = {
     val k = bands * rowsPerBand
-    val sets = shingleSets(docs, n).filter(size(col("sh")) > 0).cache()
+    val sets = materialized(shingleSets(docs, n).filter(size(col("sh")) > 0))
     // ONLY (doc_id, band, bkey) enters the band exchange — k ints per
     // doc, as the module contract promises. The shingle sets stay in
     // `sets` and are joined back by doc_id AFTER candidate dedup, so

@@ -54,9 +54,11 @@ object Similarity {
   }
 
   /** (vec_id, table, bucket) rows: bucket = sign bits of the vector
-    * against each hyperplane of the table. Narrow, codegen'd dot
-    * products (the cosine kernel against a constant plane is just a
-    * dot; sign only, so norms cancel). */
+    * against each hyperplane of the table, via the fused
+    * HyperplaneBucket codegen expression — ONE pass over the vector
+    * per table (sign(dot) == sign(cosine), so norms never compute).
+    * Round-1 evaluated nPlanes separate cosine kernels per table,
+    * each redoing both norms — the dominant ann_lsh cost. */
   def lshCandidates(
       emb: DataFrame,
       nTables: Int = 8,
@@ -65,12 +67,8 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
     val tables = (0 until nTables).map { t =>
-      val bits = planes(t).zipWithIndex.map { case (p, i) =>
-        val planeCol = array(p.map(lit): _*)
-        when(VectorExprs.cosineSim(col("embedding"), planeCol) >= 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }
-      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+      struct(lit(t).as("tbl"),
+        VectorExprs.hyperplaneBucket(col("embedding"), planes(t).toArray).as("bucket"))
     }
     emb.select(col("vec_id"), explode(array(tables: _*)).as("b"))
       .select(col("vec_id"), col("b.tbl"), col("b.bucket"))

@@ -71,12 +71,15 @@ object Pipeline {
         md5(array_join(transform(col("winnow_fp"), h => h.cast("string")), ","))
           .as("winnow_md5"))
 
-  def multimodalStats(spark: SparkSession, dir: String): DataFrame = {
-    val n = TokenEngine.scaleOf(dir) match {
-      case s if s >= 0.1  => 2000L
-      case s if s >= 0.01 => 500L
-      case _              => 200L
-    }
-    Multimodal.kindStats(Multimodal.extractFeatures(Multimodal.synthesize(spark, n)))
+  /** Media corpus size scaled to the sf dir (shared with Verify's
+    * export so the DuckDB oracle sees the same rows). */
+  def mediaCount(dir: String): Long = TokenEngine.scaleOf(dir) match {
+    case s if s >= 0.1  => 2000L
+    case s if s >= 0.01 => 500L
+    case _              => 200L
   }
+
+  def multimodalStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.kindStats(Multimodal.extractFeatures(
+      Multimodal.synthesize(spark, mediaCount(dir))))
 }

@@ -22,6 +22,51 @@ object GraftExpressions {
       CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def simhash64(words: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(words)))
+  def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(v), planes))
+  def minhashSig(sh: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    ExpressionUtils.column(MinhashSig(ExpressionUtils.expression(sh), a, b, p))
+  def shingleSet(words: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(words), n))
+}
+
+/** `shingle_set(array<string>) -> array<string>`: distinct n-word
+  * shingles, first-occurrence order (VectorKernels.shingleSet). */
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    VectorKernels.shingleSet(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.VectorKernels.shingleSet($w, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** `minhash_sig(array<string>) -> array<bigint>` against compile-time
+  * permutation constants — one fused pass per row (see
+  * VectorKernels.minhashSig). */
+case class MinhashSig(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(sh: Any): Any =
+    VectorKernels.minhashSig(sh.asInstanceOf[ArrayData], a, b, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ar = ctx.addReferenceObj("mhA", a, "long[]")
+    val br = ctx.addReferenceObj("mhB", b, "long[]")
+    defineCodeGen(ctx, ev,
+      sh => s"graft.functions.VectorKernels.minhashSig($sh, $ar, $br, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSig = copy(child = c)
 }
 
 /** `cosine_sim(array<float|double>, array<float|double>) -> double`.
@@ -61,6 +106,35 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** `hyperplane_bucket(array<float|double>) -> bigint` against a
+  * compile-time constant plane set: bit p = sign(dot(v, planes(p))).
+  * One fused pass per row per table (vs nPlanes separate cosine
+  * evaluations with redundant norm work — the ann_lsh hot path). */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = LongType
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.hyperBucket(v.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorKernels.hyperBucket($v, $ref, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
 }
 
 /** `simhash64(array<string>) -> bigint`. */

@@ -190,6 +190,19 @@ class StreamingSpec extends SparkSuite {
     assert(r.filter($"_batch_id" === 1L).count() == 1)
   }
 
+  test("byQueryParam pagination expands start keys into bounded page-key sequences") {
+    val starts = Seq(("a", "job1"), ("b", "job2")).toDF("base", "job")
+    val out = Paginate.byQueryParam(starts, keyCol = "base", param = "p", maxPages = 3)
+      .orderBy("base", "page_idx").collect()
+    assert(out.length == 6)
+    assert(out.map(_.getAs[String]("page_key")).toSeq ==
+      Seq("a?p=0", "a?p=1", "a?p=2", "b?p=0", "b?p=1", "b?p=2"))
+    assert(out.forall(_.schema.fieldNames.contains("job")), "input columns carried")
+    intercept[IllegalArgumentException] {
+      Paginate.byQueryParam(starts, "base", maxPages = 0)
+    }
+  }
+
   test("session jar: cookies persist per user_token, hydrate before merge, expire on TTL") {
     val mem = MemoryStream[CookieEvent]
     val out = SessionJar.hydrate(mem.toDS(), ttlMs = 60000L, watermarkDelay = "5 seconds")
