@@ -50,6 +50,7 @@ object SparkEntry {
     "embed_neardup_lsh" -> (Pipeline.embedNearDupLsh _),
     "ann_topk" -> (Pipeline.annTopK _),
     "ann_lsh" -> (Pipeline.annLsh _),
+    "ann_ivf" -> (Pipeline.annIvf _),
     "token_counts" -> (Pipeline.tokenCounts _),
     "quality_score" -> (Pipeline.quality _),
     "lang_id" -> (Pipeline.langId _),
@@ -104,6 +105,21 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |scored AS (SELECT q_id, n_id,
+        |    list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+        |  FROM cand
+        |  JOIN embeddings eq ON q_id = eq.vec_id
+        |  JOIN embeddings ec ON n_id = ec.vec_id),
+        |r AS (SELECT q_id, n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf" ->
+      """WITH cand AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
+        |  FROM read_parquet('{GRAFT_OUT}/_tables/ivf_probes/*.parquet') p
+        |  JOIN read_parquet('{GRAFT_OUT}/_tables/ivf_cells/*.parquet') c
+        |    ON p.cell = c.cell
+        |  WHERE p.q_id <> c.vec_id),
         |scored AS (SELECT q_id, n_id,
         |    list_cosine_similarity(eq.embedding, ec.embedding) AS cos
         |  FROM cand

@@ -32,6 +32,17 @@ object Verify {
     graft.pipeline.Similarity
       .lshCandidates(spark.read.parquet(s"$sfDir/embeddings.parquet"))
       .write.mode("overwrite").parquet(s"$outDir/_tables/ann_buckets")
+    // IVF cell assignments + query probe lists (same deterministic-
+    // bucketing-export scheme as ann_buckets)
+    locally {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents = graft.pipeline.Similarity.ivfCentroids(e)
+      graft.pipeline.Similarity.ivfCells(e, cents)
+        .write.mode("overwrite").parquet(s"$outDir/_tables/ivf_cells")
+      graft.pipeline.Similarity
+        .ivfProbeRows(e.filter(org.apache.spark.sql.functions.col("vec_id") < 10), cents, 4)
+        .write.mode("overwrite").parquet(s"$outDir/_tables/ivf_probes")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

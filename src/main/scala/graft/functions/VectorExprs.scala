@@ -88,6 +88,38 @@ object VectorKernels {
     bucket
   }
 
+  /** Top-`nProbe` centroid indices by cosine similarity, descending
+    * (ties → lower index), in one fused pass — the IVF coarse
+    * quantizer's probe list. nProbe=1 gives the assignment cell. */
+  def probeCells(v: ArrayData, cents: Array[Array[Double]], nProbe: Int,
+      isFloat: Boolean): ArrayData = {
+    val x = if (isFloat) {
+      val f = v.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i); i += 1 }
+      d
+    } else v.toDoubleArray()
+    var nx = 0.0
+    var xi = 0
+    while (xi < x.length) { nx += x(xi) * x(xi); xi += 1 }
+    val k = cents.length
+    val cos = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ct = cents(c)
+      val n = math.min(x.length, ct.length)
+      var dot = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) { dot += x(i) * ct(i); nc += ct(i) * ct(i); i += 1 }
+      cos(c) = if (nx == 0.0 || nc == 0.0) 0.0 else dot / math.sqrt(nx * nc)
+      c += 1
+    }
+    val order = (0 until k).sortBy(i => (-cos(i), i)).take(math.min(nProbe, k))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(order.toArray)
+  }
+
   private val Space = UTF8String.fromString(" ")
 
   /** Distinct n-word shingles in first-occurrence order — one pass,
@@ -197,4 +229,6 @@ object VectorExprs {
     org.apache.spark.sql.graft.GraftExpressions.minhashSig(sh, a, b, p)
   def shingleSet(words: Column, n: Int): Column =
     org.apache.spark.sql.graft.GraftExpressions.shingleSet(words, n)
+  def ivfProbes(v: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    org.apache.spark.sql.graft.GraftExpressions.ivfProbes(v, cents, nProbe)
 }

@@ -48,6 +48,11 @@ object Pipeline {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
   }
 
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(docs(spark, dir))
 

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
  * Zipf-hot source is bounded per window by partial (map-side)
  * aggregation — each map task pre-combines its rows, so the reduce-side
  * hot key receives one partial row per map partition, not per input
- * row. AQE handles residual skew.
+ * row. On BATCH runs AQE additionally splits residual skew; Spark
+ * disables AQE inside stateful streaming queries, so the streaming
+ * path relies on partial aggregation alone — sufficient here because
+ * the reduce-side row count is bounded by (map partitions × windows),
+ * independent of input volume. If a deployment needs more, pre-salt:
+ * groupBy(window, source, pmod(hash(doc_id), S)) then re-agg.
  */
 object WindowAggs {
 

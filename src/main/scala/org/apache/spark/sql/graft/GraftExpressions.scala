@@ -28,6 +28,34 @@ object GraftExpressions {
     ExpressionUtils.column(MinhashSig(ExpressionUtils.expression(sh), a, b, p))
   def shingleSet(words: Column, n: Int): Column =
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(words), n))
+  def ivfProbes(v: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    ExpressionUtils.column(IvfProbes(ExpressionUtils.expression(v), cents, nProbe))
+}
+
+/** `ivf_probes(array<float|double>) -> array<int>`: top-nProbe
+  * centroid cells by cosine, descending (VectorKernels.probeCells). */
+case class IvfProbes(child: Expression, cents: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.probeCells(v.asInstanceOf[ArrayData], cents, nProbe, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorKernels.probeCells($v, $ref, $nProbe, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IvfProbes = copy(child = c)
 }
 
 /** `shingle_set(array<string>) -> array<string>`: distinct n-word
