@@ -114,6 +114,24 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
         |  FROM scored)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // signatures exported (the custom simhash kernel has no DuckDB
+    // analog); banding, candidate pairing and hamming verification
+    // recomputed independently
+    "simhash_pairs" ->
+      """WITH s AS (SELECT doc_id, sig
+        |  FROM read_parquet('{GRAFT_OUT}/_tables/simhash_sigs/*.parquet')),
+        |b AS (SELECT doc_id, sig,
+        |    unnest([0, 1, 2, 3]) AS band,
+        |    unnest([(sig >> 0) & 65535, (sig >> 16) & 65535,
+        |            (sig >> 32) & 65535, (sig >> 48) & 65535]) AS bkey
+        |  FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2,
+        |    a.sig AS s1, c.sig AS s2
+        |  FROM b a JOIN b c ON a.band = c.band AND a.bkey = c.bkey
+        |    AND a.doc_id < c.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
     "ann_ivf" ->
       """WITH cand AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
         |  FROM read_parquet('{GRAFT_OUT}/_tables/ivf_probes/*.parquet') p

@@ -32,6 +32,9 @@ object Verify {
     graft.pipeline.Similarity
       .lshCandidates(spark.read.parquet(s"$sfDir/embeddings.parquet"))
       .write.mode("overwrite").parquet(s"$outDir/_tables/ann_buckets")
+    graft.pipeline.Dedup
+      .simhashSigs(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .write.mode("overwrite").parquet(s"$outDir/_tables/simhash_sigs")
     // IVF cell assignments + query probe lists (same deterministic-
     // bucketing-export scheme as ann_buckets)
     locally {

@@ -185,13 +185,19 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Per-doc 64-bit SimHash signatures (exported by Verify so the
+    * DuckDB oracle can redo banding + hamming verification
+    * independently). */
+  def simhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      VectorExprs.simhash64(words(col("text"))).as("sig"))
+
   /** SimHash near-dup pairs: 64-bit signature per doc (codegen'd
     * custom expression), banded into 4×16-bit keys (pigeonhole
     * guarantee for hamming ≤ 3), verified with bit_count(xor) ≤
     * maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      VectorExprs.simhash64(words(col("text"))).as("sig"))
+    val sigs = simhashSigs(docs)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
