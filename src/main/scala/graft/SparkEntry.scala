@@ -114,6 +114,21 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
         |  FROM scored)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // bucket table exported; candidate pairing + exact-cosine verify
+    // recomputed by DuckDB (float32 cosine vs our double kernel is
+    // ~1e-7 apart; the nearest pair to the 0.45 threshold sits 1.6e-3
+    // away, so the verdicts cannot diverge on this data)
+    "embed_neardup_lsh" ->
+      """WITH b AS (SELECT * FROM read_parquet('{GRAFT_OUT}/_tables/neardup_buckets/*.parquet')),
+        |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+        |    AND l.vec_id < r.vec_id)
+        |SELECT id_a, id_b
+        |FROM cand
+        |JOIN embeddings a ON id_a = a.vec_id
+        |JOIN embeddings c ON id_b = c.vec_id
+        |WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     // signatures exported (the custom simhash kernel has no DuckDB
     // analog); banding, candidate pairing and hamming verification
     // recomputed independently

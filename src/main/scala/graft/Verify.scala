@@ -35,6 +35,12 @@ object Verify {
     graft.pipeline.Dedup
       .simhashSigs(spark.read.parquet(s"$sfDir/documents.parquet"))
       .write.mode("overwrite").parquet(s"$outDir/_tables/simhash_sigs")
+    // near-dup LSH bucket table (24 tables × 4 planes — the
+    // embedNearDupLsh parameters)
+    graft.pipeline.Similarity
+      .lshCandidates(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        nTables = 24, nPlanes = 4)
+      .write.mode("overwrite").parquet(s"$outDir/_tables/neardup_buckets")
     // IVF cell assignments + query probe lists (same deterministic-
     // bucketing-export scheme as ann_buckets)
     locally {
