@@ -85,7 +85,13 @@ object Dedup {
       maxDf: Int = 100): DataFrame = {
     val sets = materialized(shingleSets(docs, n))
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    // the inverted index joins on xxhash64 of the shingle, not the
+    // string: intersection counts are identical modulo 64-bit
+    // collisions (~1e-8 for millions of distinct shingles) and the
+    // shuffle moves fixed 8-byte keys instead of shingle text — at
+    // corpus scale the self-join's shuffle volume drops ~3×
+    val inv = sets.select(col("doc_id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
     // df computed in the same shuffle key-space as the join; the
     // semi-join keeps only cold shingles (df filter is map-side after
     // the broadcasted frequency table at real scale — AQE converts)
