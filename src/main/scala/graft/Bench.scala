@@ -315,8 +315,16 @@ object Bench {
           println(s"""BENCHRATE {"rate":$r,"rows":$n,"ok":$ok,"attempts":$attJson}""")
           return
         case None =>
-          val (r1, n1, ok1, a1) = forkLevel(baseCpus)
-          val (r4, n4, ok4, a4) = forkLevel(baseCpus * 4)
+          // a transient fork death (e.g. ambient memory pressure
+          // OOM-killing the child JVM) must not zero the round's
+          // artifact — retry a dead level once
+          def level(c: Int): (Double, Long, Boolean, String) = {
+            val first = forkLevel(c)
+            if (first._1 > 0.0) first
+            else { System.err.println(s"[bench] retrying dead fork at $c"); forkLevel(c) }
+          }
+          val (r1, n1, ok1, a1) = level(baseCpus)
+          val (r4, n4, ok4, a4) = level(baseCpus * 4)
           (r1, n1, ok1, a1, r4, n4, ok4, a4)
       }
     val eff = (rate4N / rateN) / 4.0
