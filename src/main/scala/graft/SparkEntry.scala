@@ -423,6 +423,22 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS md5_fp, length(text) AS n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // gram-hash stream exported (xxhash64 has no DuckDB analog — same
+    // scheme as simhash_sigs); the winnowing itself (window-min,
+    // distinct, sort, digest) recomputed independently here
+    "fingerprint_winnow" ->
+      """WITH g AS (SELECT doc_id, hashes
+        |  FROM read_parquet('{GRAFT_OUT}/_tables/winnow_grams/*.parquet')),
+        |w AS (SELECT doc_id,
+        |    list_sort(CASE WHEN len(hashes) < 4 THEN list_distinct(hashes)
+        |      ELSE list_distinct(list_transform(range(1, len(hashes) - 2),
+        |        i -> list_min(hashes[i:i+3]))) END) AS fp
+        |  FROM g)
+        |SELECT d.doc_id, md5(lower(trim(d.text))) AS md5_fp,
+        |  len(fp) AS n_winnow,
+        |  md5(array_to_string(list_transform(fp, h -> CAST(h AS VARCHAR)), ',')) AS winnow_md5
+        |FROM w JOIN documents d ON w.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -35,6 +35,11 @@ object Verify {
     graft.pipeline.Dedup
       .simhashSigs(spark.read.parquet(s"$sfDir/documents.parquet"))
       .write.mode("overwrite").parquet(s"$outDir/_tables/simhash_sigs")
+    // per-doc ordered k-gram hash stream: DuckDB redoes winnowing
+    // (window-min, distinct, sort, digest) independently
+    graft.pipeline.TextAnalysis
+      .winnowGrams(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .write.mode("overwrite").parquet(s"$outDir/_tables/winnow_grams")
     // near-dup LSH bucket table (24 tables × 4 planes — the
     // embedNearDupLsh parameters)
     graft.pipeline.Similarity

@@ -79,16 +79,29 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
   }
 
+  /** Per-doc ordered k-gram rolling-hash sequence (3-word grams,
+    * xxhash64). Shared by [[fingerprint]] and exported by Verify so
+    * the DuckDB oracle can redo the winnowing (window-min, distinct,
+    * sort, digest) independently from the same hash stream — the
+    * same export scheme as the simhash signatures. */
+  def gramHashes(textCol: Column): Column = {
+    val ws = words(lower(trim(textCol)))
+    val grams = when(size(ws) < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ws) - 3), i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
+    transform(grams, g => xxhash64(g))
+  }
+
+  /** (doc_id, hashes) export table for the winnow oracle. */
+  def winnowGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), gramHashes(col("text")).as("hashes"))
+
   /** Content fingerprints: md5 of normalized text (exact-dup key) and
     * a winnowing-style selected-hash list (k-gram rolling window,
     * min-hash per window, distinct) for robust partial-overlap
     * detection. */
   def fingerprint(docs: DataFrame, window: Int = 4): DataFrame = {
-    val ws = words(lower(trim(col("text"))))
-    val grams = when(size(ws) < 3, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(ws) - 3), i =>
-        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-    val hashes = transform(grams, g => xxhash64(g))
+    val hashes = gramHashes(col("text"))
     val winnowed = when(size(hashes) < window, array_distinct(hashes)).otherwise(
       array_distinct(transform(sequence(lit(0), size(hashes) - window), i =>
         array_min(slice(hashes, i + 1, lit(window))))))

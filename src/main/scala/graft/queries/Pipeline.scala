@@ -68,11 +68,13 @@ object Pipeline {
   /** Driver-facing winnow fingerprint: the selected-hash list exports
     * as (count, md5-of-joined-list) — scalar images of the array
     * (driver compare can't sort array cells); PipelineSpec pins the
-    * raw array semantics. */
+    * raw array semantics. DuckDB oracle redoes the winnowing from the
+    * exported gram-hash table (SparkEntry.oracleSql). n_winnow is
+    * BIGINT for physical-width parity with DuckDB len(). */
   def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(spark, dir))
       .select(col("doc_id"), col("md5_fp"),
-        size(col("winnow_fp")).as("n_winnow"),
+        size(col("winnow_fp")).cast("bigint").as("n_winnow"),
         md5(array_join(transform(col("winnow_fp"), h => h.cast("string")), ","))
           .as("winnow_md5"))
 
