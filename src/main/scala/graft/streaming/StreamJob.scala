@@ -123,4 +123,34 @@ object StreamJob {
       .select("doc_id", "tokens", "n_tok", "source", "event_time", "n_frags")
     ExtractCompiler.compile(docs, spec)
   }
+
+  /**
+   * Row count [[batchOracle]] would produce, computed NARROW: the
+   * extraction emits one row per block, a block boundary is a single
+   * RECORD_START token (it cannot span fragments), and a stitched doc
+   * with zero boundaries falls back to one whole-array block — so the
+   * count is `sum over docs of max(Σ per-fragment sentinel counts, 1)`
+   * over first-arrival-deduped fragments. Token arrays never enter a
+   * shuffle (per-fragment counts reduce them to one int each), which
+   * makes this the right `expected` for Bench: the full batch-oracle
+   * pipeline re-materializes every stitched token array through a
+   * spilling aggregation and costs a large multiple of the measured
+   * runs themselves at low thread counts. Equality with
+   * `batchOracle(...).count()` is pinned in StreamingSpec.
+   */
+  def expectedRows(fragments: Dataset[Fragment], spec: ExtractionSpec): Long = {
+    val limited = limitPages(fragments, spec)
+    val firstArrival = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("page_idx"))
+      .orderBy(col("event_time"), col("frag_idx"))
+    limited.toDF()
+      .select(col("doc_id"), col("page_idx"), col("event_time"), col("frag_idx"),
+        size(filter(col("tokens"),
+          t => t === lit(graft.model.TokenCodec.RECORD_START))).as("nb"))
+      .withColumn("__rn", row_number().over(firstArrival))
+      .filter(col("__rn") === 1)
+      .groupBy(col("doc_id")).agg(sum(col("nb")).as("nb"))
+      .select(sum(greatest(col("nb"), lit(1L))).as("n"))
+      .head().getLong(0)
+  }
 }

@@ -322,4 +322,18 @@ class StreamingSpec extends SparkSuite {
       assert(g.toString == e.toString, s"mismatch:\n  got=$g\n  exp=$e")
     }
   }
+
+  test("narrow expectedRows equals the full batch-oracle row count") {
+    // includes planted duplicate fragments and multi-fragment docs —
+    // the cases where the narrow count could diverge (dedup winner,
+    // cross-fragment boundaries, zero-sentinel fallback)
+    val all = TokenGen.fragments(spark, 200).filter(!_.is_late).cache()
+    val full = StreamJob.batchOracle(spark, all, spec).count()
+    val narrow = StreamJob.expectedRows(all, spec)
+    assert(narrow === full, s"narrow=$narrow full=$full")
+    // and a zero-sentinel doc exercises the single-block fallback
+    val lone = Seq(frag("nosentinel", 0, Array(3, 100, 1), 500)).toDS()
+    assert(StreamJob.expectedRows(lone, spec) ===
+      StreamJob.batchOracle(spark, lone, spec).count())
+  }
 }
