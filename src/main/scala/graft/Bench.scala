@@ -96,6 +96,59 @@ object Bench {
   /** One attempt's evidence row. */
   final case class Attempt(rate: Double, wall: Double, stealPct: Double)
 
+  /** Files per micro-batch for a given layout parallelism (the 4N
+    * level by default — both levels read the same layout). */
+  private def filesPerBatch(layoutCpus: Int): Int = {
+    val tranches = sys.env.getOrElse("SPARK_GRAFT_TRANCHES", "1").toInt
+    math.max(1, layoutCpus / 4) * (8 / math.min(8, tranches))
+  }
+
+  /**
+   * Synthesize the deterministic fragment corpus + flush files into
+   * `inDir` and return the expected extracted-row count (narrow, via
+   * StreamJob.expectedRows). Synthesis is identical for every level —
+   * the parent runs it ONCE at full parallelism and both forked levels
+   * read the shared files; at 12.8M docs the per-child re-synthesis
+   * (generate + cache + write ~10 GB parquet) used to dominate the
+   * bench wall, 4× worse at the N level.
+   */
+  private def synthesize(
+      spark: SparkSession, nDocs: Long, inDir: String, layoutCpus: Int): Long = {
+    import spark.implicits._
+    val spec = TokenEngine.flagshipSpec
+    val all = TokenGen.fragments(spark, nDocs).filter(!_.is_late).cache()
+    val expected = StreamJob.expectedRows(all, spec)
+    // flushes must sit strictly AFTER the corpus's event-time range
+    // (they exist to advance the watermark past every session timer)
+    val flushTs = TokenGen.BASE_EPOCH_MS + nDocs * 1000L + 3600000L
+    def flush(tag: String, off: Long, dir: String): Unit = {
+      Seq(graft.gen.Fragment(
+        s"~$tag", Array(2), 1, "flush",
+        new java.sql.Timestamp(flushTs + off), 0, 0, false, false))
+        .toDS().coalesce(1).write.parquet(dir)
+    }
+    // event-time-ordered tranches with strictly increasing file
+    // mtimes: tranche t = one micro-batch. Order matters: a plain
+    // repartition would scramble event times across files, and any
+    // file processed after the watermark passed its rows would
+    // (correctly) drop them as late.
+    val tranches = sys.env.getOrElse("SPARK_GRAFT_TRANCHES", "1").toInt
+    val spanMs = nDocs * 1000L / tranches
+    for (t <- 0 until tranches) {
+      val lo = TokenGen.BASE_EPOCH_MS + t * spanMs
+      val hi = if (t == tranches - 1) Long.MaxValue else lo + spanMs
+      all.filter(f => f.event_time.getTime >= lo && f.event_time.getTime < hi)
+        .repartition(filesPerBatch(layoutCpus))
+        .write.mode("overwrite").parquet(f"$inDir/p1_$t%02d")
+      Thread.sleep(1200)
+    }
+    flush("f1", 0, s"$inDir/p2")
+    Thread.sleep(1200)
+    flush("f2", 600000L, s"$inDir/p3")
+    all.unpersist()
+    expected
+  }
+
   private def streamRun(cpus: Int, nDocs: Long): (Double, Long, Boolean, Seq[Attempt], Long) = {
     val spark = session(cpus)
     if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
@@ -116,13 +169,10 @@ object Bench {
     }
     var baseDir: java.nio.file.Path = null
     try {
-      import spark.implicits._
       val base = Files.createTempDirectory(ioRoot, s"run-$cpus-")
       baseDir = base
-      val inDir = base.resolve("in").toString
       val spec = TokenEngine.flagshipSpec
 
-      val all = TokenGen.fragments(spark, nDocs).filter(!_.is_late).cache()
       // one query run, micro-batch order by file mtime: main corpus
       // first, then two flush rows with strictly later mtimes (the
       // file source processes oldest-first when mtimes differ) — the
@@ -135,43 +185,19 @@ object Bench {
       // attempt evidence rides in the JSON); raise via
       // SPARK_GRAFT_ATTEMPTS under ambient load
       val attempts = sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "3").toInt
-      // `expected` is verification, not measurement: the narrow count
-      // (StreamJob.expectedRows — per-fragment sentinel counts, no
-      // token arrays in any shuffle; equality with the full batch
-      // oracle pinned in StreamingSpec) replaces the full batch-
-      // pipeline re-run, which at 12.8M docs / 4 threads cost a large
-      // multiple of the measured attempts themselves. The 4N-first
-      // parent additionally hands its count to the N child via env so
-      // the evaluation happens once per bench.
-      val expected = sys.env.get("SPARK_GRAFT_EXPECTED").map(_.toLong)
-        .getOrElse(StreamJob.expectedRows(all, spec))
-      // flushes must sit strictly AFTER the corpus's event-time range
-      // (they exist to advance the watermark past every session timer)
-      val flushTs = TokenGen.BASE_EPOCH_MS + nDocs * 1000L + 3600000L
-      def flush(tag: String, off: Long, dir: String): Unit = {
-        Seq(graft.gen.Fragment(
-          s"~$tag", Array(2), 1, "flush",
-          new java.sql.Timestamp(flushTs + off), 0, 0, false, false))
-          .toDS().coalesce(1).write.parquet(dir)
+      // shared-input mode (forked level under the parent): input files
+      // + expected count arrive via env, nothing to synthesize here;
+      // standalone mode (SPARK_GRAFT_ONLY by hand): self-synthesize
+      val (inDir, expected, mfpt) = sys.env.get("SPARK_GRAFT_INDIR") match {
+        case Some(shared) =>
+          (shared,
+            sys.env("SPARK_GRAFT_EXPECTED").toLong,
+            sys.env.getOrElse("SPARK_GRAFT_MFPT", filesPerBatch(cpus).toString).toInt)
+        case None =>
+          val own = base.resolve("in").toString
+          val e = synthesize(spark, nDocs, own, layoutCpus = cpus)
+          (own, e, filesPerBatch(cpus))
       }
-      // 8 event-time-ordered tranches with strictly increasing file
-      // mtimes: tranche t = one micro-batch (cpus/4 files). Order
-      // matters: a plain repartition would scramble event times
-      // across files, and any file processed after the watermark
-      // passed its rows would (correctly) drop them as late.
-      val tranches = sys.env.getOrElse("SPARK_GRAFT_TRANCHES", "1").toInt
-      val spanMs = nDocs * 1000L / tranches
-      for (t <- 0 until tranches) {
-        val lo = TokenGen.BASE_EPOCH_MS + t * spanMs
-        val hi = if (t == tranches - 1) Long.MaxValue else lo + spanMs
-        all.filter(f => f.event_time.getTime >= lo && f.event_time.getTime < hi)
-          .repartition(math.max(1, cpus / 4) * (8 / math.min(8, tranches)))
-          .write.mode("overwrite").parquet(f"$inDir/p1_$t%02d")
-        Thread.sleep(1200)
-      }
-      flush("f1", 0, s"$inDir/p2")
-      Thread.sleep(1200)
-      flush("f2", 600000L, s"$inDir/p3")
 
       // Measure `attempts` runs over the SAME input (fresh checkpoint
       // + sink each time) and keep the best: this VM sees intermittent
@@ -186,9 +212,7 @@ object Bench {
         val (steal0, total0) = cpuJiffies()
         val t0 = System.nanoTime()
         val q = StreamJob.run(
-          StreamJob.fileSource(spark, s"$inDir/*",
-            maxFilesPerTrigger = math.max(1, cpus / 4) *
-              (8 / math.min(8, sys.env.getOrElse("SPARK_GRAFT_TRANCHES", "1").toInt))),
+          StreamJob.fileSource(spark, s"$inDir/*", maxFilesPerTrigger = mfpt),
           spec, table, ck, s"bench$cpus",
           watermarkDelay = "10 minutes", sessionGapMs = 60000L,
           trigger = Trigger.AvailableNow())
@@ -224,10 +248,9 @@ object Bench {
   }
 
   /** Re-invoke this main in a fresh JVM pinned to one parallelism
-    * level; parse its BENCHRATE line. `expected` (when already known
-    * from the other level's oracle run) skips the child's own
-    * batch-oracle evaluation. */
-  private def forkLevel(cpus: Int, expected: Option[Long]): (Double, Long, Boolean, String, Long) = {
+    * level; parse its BENCHRATE line. `extraEnv` carries the shared
+    * input dir, expected count and files-per-batch from the parent. */
+  private def forkLevel(cpus: Int, extraEnv: Map[String, String]): (Double, Long, Boolean, String, Long) = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
@@ -240,7 +263,7 @@ object Bench {
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_ONLY", cpus.toString)
     pb.environment().put("SPARK_GRAFT_SKIP_QUERIES", "1")
-    expected.foreach(e => pb.environment().put("SPARK_GRAFT_EXPECTED", e.toString))
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
@@ -328,20 +351,32 @@ object Bench {
           println(s"""BENCHRATE {"rate":$r,"rows":$n,"ok":$ok,"expected":$exp,"attempts":$attJson}""")
           return
         case None =>
+          // parent synthesizes the shared input ONCE at full
+          // parallelism; both forked levels read the same files (the
+          // per-child re-synthesis used to dominate the bench wall,
+          // 4× worse at the N level)
+          val inDir = Files.createTempDirectory(ioRoot, "in-").toString
+          val synthSpark = session(cpus)
+          val expected =
+            try synthesize(synthSpark, streamDocs, inDir, layoutCpus = baseCpus * 4)
+            finally synthSpark.stop()
+          val sharedEnv = Map(
+            "SPARK_GRAFT_INDIR" -> inDir,
+            "SPARK_GRAFT_EXPECTED" -> expected.toString,
+            "SPARK_GRAFT_MFPT" -> filesPerBatch(baseCpus * 4).toString)
           // a transient fork death (e.g. ambient memory pressure
           // OOM-killing the child JVM) must not zero the round's
           // artifact — retry a dead level once
-          def level(c: Int, exp: Option[Long]): (Double, Long, Boolean, String, Long) = {
-            val first = forkLevel(c, exp)
+          def level(c: Int): (Double, Long, Boolean, String, Long) = {
+            val first = forkLevel(c, sharedEnv)
             if (first._1 > 0.0) first
-            else { System.err.println(s"[bench] retrying dead fork at $c"); forkLevel(c, exp) }
+            else { System.err.println(s"[bench] retrying dead fork at $c"); forkLevel(c, sharedEnv) }
           }
-          // 4N first: it pays the one-and-only batch-oracle evaluation
-          // ~4× faster, and its count seeds the N child's `expected`
-          val (r4, n4, ok4, a4, exp4) = level(baseCpus * 4, None)
-          val (r1, n1, ok1, a1, _) =
-            level(baseCpus, if (exp4 > 0) Some(exp4) else None)
-          (r1, n1, ok1, a1, r4, n4, ok4, a4)
+          try {
+            val (r4, n4, ok4, a4, _) = level(baseCpus * 4)
+            val (r1, n1, ok1, a1, _) = level(baseCpus)
+            (r1, n1, ok1, a1, r4, n4, ok4, a4)
+          } finally rmTree(java.nio.file.Paths.get(inDir))
       }
     val eff = (rate4N / rateN) / 4.0
 
