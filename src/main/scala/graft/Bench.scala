@@ -94,7 +94,31 @@ object Bench {
     } catch { case _: Throwable => (0L, 0L) }
 
   /** One attempt's evidence row. */
-  final case class Attempt(rate: Double, wall: Double, stealPct: Double)
+  final case class Attempt(rate: Double, wall: Double, stealPct: Double, memBwGBs: Double)
+
+  /** Single-thread sequential-read DRAM-bandwidth probe (GB/s over a
+    * 256 MB sweep; first pass warms pages, second is timed). Host-side
+    * memory contention is invisible to guest steal accounting yet
+    * craters this workload — measured on this box: aggregate ceiling
+    * ~12 GB/s (flat from 4 to 16 threads, ~7 GB/s single-thread) in a
+    * quiet window, and a >10× collapse during one degraded window that
+    * showed steal of only 2-4%. Sampling it per attempt turns "the box
+    * was noisy" from an assertion into artifact evidence. */
+  private lazy val bwArr = new Array[Long](32 * 1024 * 1024)
+  private def memBwProbe(): Double = {
+    var s = 0L
+    var pass = 0
+    var dt = 0.0
+    while (pass < 2) {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < bwArr.length) { s += bwArr(i); i += 1 }
+      dt = (System.nanoTime() - t0) / 1e9
+      pass += 1
+    }
+    if (s == 42L) System.err.print("") // defeat dead-code elimination
+    0.25 / dt // array is 256 MB = 0.25 GB
+  }
 
   /** Files per micro-batch for a given layout parallelism (the 4N
     * level by default — both levels read the same layout). */
@@ -209,6 +233,7 @@ object Bench {
       for (attempt <- 1 to attempts) {
         val ck = base.resolve(s"ck$attempt").toString
         val table = new ResultTable(base.resolve(s"table$attempt").toString)
+        val bw = memBwProbe()
         val (steal0, total0) = cpuJiffies()
         val t0 = System.nanoTime()
         val q = StreamJob.run(
@@ -235,9 +260,9 @@ object Bench {
         // pressures the page cache into the OOM killer
         rmTree(base.resolve(s"table$attempt"))
         rmTree(base.resolve(s"ck$attempt"))
-        attemptLog += Attempt(rate, wall, stealPct)
+        attemptLog += Attempt(rate, wall, stealPct, bw)
         System.err.println(
-          f"[bench cpus=$cpus attempt=$attempt] rate=$rate%.1f rows=$rows wall=$wall%.1fs steal=$stealPct%.1f%%")
+          f"[bench cpus=$cpus attempt=$attempt] rate=$rate%.1f rows=$rows wall=$wall%.1fs steal=$stealPct%.1f%% membw=$bw%.1fGB/s")
         if (rate > best._1) best = (rate, rows, rows == expected)
       }
       (best._1, best._2, best._3, attemptLog.toSeq, expected)
@@ -346,7 +371,7 @@ object Bench {
         case Some(c) =>
           val (r, n, ok, att, exp) = streamRun(c.toInt, streamDocs)
           val attJson = att.map(a =>
-            f"""{"rate":${a.rate}%.1f,"wall":${a.wall}%.1f,"steal_pct":${a.stealPct}%.2f}""")
+            f"""{"rate":${a.rate}%.1f,"wall":${a.wall}%.1f,"steal_pct":${a.stealPct}%.2f,"membw_gbs":${a.memBwGBs}%.1f}""")
             .mkString("[", ",", "]")
           println(s"""BENCHRATE {"rate":$r,"rows":$n,"ok":$ok,"expected":$exp,"attempts":$attJson}""")
           return

@@ -323,6 +323,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("kill-and-resume holds on the RocksDB state store provider") {
+    // the north-star names RocksDB as the production state store
+    // (state ≫ executor memory at 10^12 sequences); this pins that the
+    // stitcher's flat-primitive state encoding survives RocksDB
+    // serialize → snapshot → restore, not just the in-memory provider.
+    // providerClass is a per-query conf captured at start, so setting
+    // it on the shared session scopes it to the queries below.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Files.createTempDirectory("graft-rocks")
+      val inDir = base.resolve("in").toString
+      val ckDir = base.resolve("ck").toString
+      val table = new ResultTable(base.resolve("table").toString)
+      val all = TokenGen.fragments(spark, 24).filter(!_.is_late).cache()
+      def launch() = StreamJob.run(
+        StreamJob.fileSource(spark, s"$inDir/*", maxFilesPerTrigger = 2),
+        spec, table, ckDir, "rocks",
+        watermarkDelay = "10 minutes", sessionGapMs = 60000L,
+        trigger = Trigger.AvailableNow())
+      // phase 1: half the docs, then a cold restart from the RocksDB
+      // checkpoint with the rest, then two flush runs to fire timers
+      all.filter($"doc_id" < lit("src-001")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/p1")
+      launch().awaitTermination(120000)
+      all.filter($"doc_id" >= lit("src-001")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/p2")
+      launch().awaitTermination(120000)
+      Seq(frag("~flushA", 0, Array(2), 100000)).toDS().coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/p3")
+      launch().awaitTermination(120000)
+      Seq(frag("~flushB", 0, Array(2), 200000)).toDS().coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/p4")
+      launch().awaitTermination(120000)
+      val got = table.read(spark).filter(!$"doc_id".startsWith("~"))
+      val expected = StreamJob.batchOracle(spark, all, spec).count()
+      assert(got.count() == expected,
+        s"RocksDB run: got ${got.count()} rows, expected $expected")
+      all.unpersist()
+    } finally spark.conf.unset(key)
+  }
+
   test("narrow expectedRows equals the full batch-oracle row count") {
     // includes planted duplicate fragments and multi-fragment docs —
     // the cases where the narrow count could diverge (dedup winner,
