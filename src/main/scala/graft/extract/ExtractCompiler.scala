@@ -50,21 +50,27 @@ object ExtractCompiler {
     * array of field arrays (tag at head, delimiter stripped). */
   def fieldsOf(block: Column): Column = graft2.splitFields(block, FIELD_DELIM)
 
-  /** Fields matching a selector tag. */
-  def matchedFields(block: Column, tag: Int): Column =
-    filter(fieldsOf(block), f => size(f) > 0 && element_at(f, 1) === lit(tag))
-
-  /** Payloads (tag stripped) of matched fields. */
+  /** Payloads (tag stripped) of the fields matching a selector tag —
+    * fused codegen kernel; the match count is its size, so no separate
+    * matched-fields column is needed. */
   def matchedPayloads(block: Column, tag: Int): Column =
-    transform(matchedFields(block, tag), f => slice(f, lit(2), size(f) - 1))
+    graft2.payloadsForTag(fieldsOf(block), tag)
 
-  private def applyFilters(s: Column, fs: Seq[TextFilter]): Column =
-    fs.foldLeft(s) {
-      case (c, TextFilter.Trim)       => trim(c)
-      case (c, TextFilter.Lower)      => lower(c)
-      case (c, TextFilter.Upper)      => upper(c)
-      case (c, TextFilter.Capitalize) => initcap(c)
+  /** Filter chain packed 3 bits per op, LSB-first = reference
+    * left-to-right chaining (extract/filters.go:7-21); consumed by the
+    * decodeAll kernel so the Text part needs no per-payload lambda. */
+  private def opsOf(fs: Seq[TextFilter]): Int = {
+    require(fs.length <= 10, s"filter chain too long: $fs")
+    fs.zipWithIndex.foldLeft(0) { case (acc, (f, i)) =>
+      val code = f match {
+        case TextFilter.Trim       => 1
+        case TextFilter.Lower      => 2
+        case TextFilter.Upper      => 3
+        case TextFilter.Capitalize => 4
+      }
+      acc | (code << (3 * i))
     }
+  }
 
   /** Base-36 decode of a payload to a space-joined string (the "text"
     * of the field) — matches TokenCodec.decodeToken. One-pass codegen
@@ -89,30 +95,30 @@ object ExtractCompiler {
     * `matched`/`payloads` are references to per-tag columns
     * materialized once in [[compile]] — passing the raw expressions
     * here would re-evaluate the whole field-split chain per part. */
-  def partColumn(matched: Column, payloads: Column, f: FieldSpec, tpe: ExtractorType): Option[Column] = {
+  def partColumn(payloads: Column, f: FieldSpec, tpe: ExtractorType): Option[Column] = {
+    // |matched fields| == |payloads| (payloadsForTag strips tags 1:1),
+    // so the nil guard and Count both read the payloads column
     val nilGuard: Column => Column = c =>
-      if (f.includeIfEmpty) c else when(size(matched) > 0, c)
+      if (f.includeIfEmpty) c else when(size(payloads) > 0, c)
     val colName = s"${f.name}_${tpe.name}"
     tpe match {
       case ExtractorType.Text =>
-        Some(nilGuard(transform(payloads, p => applyFilters(decodeText(p), f.filters)))
-          .as(colName))
+        Some(nilGuard(graft2.decodeAll(payloads, opsOf(f.filters))).as(colName))
       case ExtractorType.Tokens =>
         Some(nilGuard(payloads).as(colName))
       case ExtractorType.Count =>
         // reference Count: 0 matches → nil unless IncludeIfEmpty
         // (extractors.go:313-331)
-        Some(nilGuard(size(matched)).as(colName))
+        Some(nilGuard(size(payloads)).as(colName))
       case ExtractorType.Const(v) =>
         Some(lit(v).as(colName))
       case ExtractorType.TokenPattern(p) =>
-        Some(nilGuard(flatten(transform(payloads, pl => patternPositions(pl, p))))
-          .as(colName))
+        Some(nilGuard(graft2.findAllFlat(payloads, p)).as(colName))
       case ExtractorType.Path =>
         // join-key projection: decoded payloads become child doc_ids;
         // emitted under a reserved name, dropped from user output
         // (reference scrape.go:569-571)
-        Some(nilGuard(transform(payloads, p => decodeText(p))).as(s"__path_${f.name}"))
+        Some(nilGuard(graft2.decodeAll(payloads, 0)).as(s"__path_${f.name}"))
       case ExtractorType.Unknown(n) =>
         // skipped with a log, scrape continues (scrape.go:317-319)
         System.err.println(s"[graft] unknown extractor type '$n' for field '${f.name}' — skipped")
@@ -143,26 +149,22 @@ object ExtractCompiler {
         else f)
 
     // Materialize shared subexpressions as real columns, each its own
-    // projection step: the field split once per block, then matched
-    // fields + payloads once per distinct selector tag. CollapseProject
-    // keeps these boundaries (it refuses to inline a non-cheap
-    // expression referenced more than once), so each is evaluated one
-    // time per row instead of once per part column — the higher-order
-    // array functions here are interpreted, not codegen'd, and
-    // re-evaluating them per Field×Type dominated the extraction cost.
+    // projection step: the field split once per block, then the
+    // matched payloads once per distinct selector tag (one fused
+    // codegen kernel each). CollapseProject keeps these boundaries
+    // (it refuses to inline a non-cheap expression referenced more
+    // than once), so each is evaluated one time per row instead of
+    // once per part column.
     val withFields = blocks.withColumn("__fields", fieldsOf(col("block_tokens")))
     val tags = compiled.map(_.selector).distinct
     val withTags = tags.foldLeft(withFields) { (df, tag) =>
-      df.withColumn(s"__m_$tag",
-          filter(col("__fields"), f => size(f) > 0 && element_at(f, 1) === lit(tag)))
-        .withColumn(s"__p_$tag",
-          transform(col(s"__m_$tag"), f => slice(f, lit(2), size(f) - 1)))
+      df.withColumn(s"__p_$tag", graft2.payloadsForTag(col("__fields"), tag))
     }
 
     val parts: Seq[Column] = for {
       f <- compiled
       t <- f.types
-      c <- partColumn(col(s"__m_${f.selector}"), col(s"__p_${f.selector}"), f, t)
+      c <- partColumn(col(s"__p_${f.selector}"), f, t)
     } yield c
     if (parts.isEmpty) throw new SpecException("no parts found")
     val carry = docs.columns.filter(_ != "tokens").map(col) :+ col("block_idx")

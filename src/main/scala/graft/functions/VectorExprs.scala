@@ -169,6 +169,67 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** xxhash64 (seed 42 — byte-identical to SQL `xxhash64` over the
+    * `concat_ws(" ", ...)` gram string) of every n-word gram, in
+    * order. One pass; replaces an interpreted transform(sequence) →
+    * concat_ws → xxhash64 chain. */
+  def gramHashes(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val g = UTF8String.concatWs(Space, parts: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Winnowing selection: sorted distinct minima of every length-
+    * `window` sliding window over the hash stream (whole stream if
+    * shorter than one window). Monotonic-deque sliding min — O(n) —
+    * replacing a per-position slice+array_min lambda whose embedded
+    * gram-hash subtree re-evaluated per window position (O(n²) with
+    * interpreted-HOF constants: the round-2 bench measured 643 s at
+    * sf0.1 once column pruning stopped hiding it). */
+  def winnowSelect(hashes: ArrayData, window: Int): ArrayData = {
+    val h = hashes.toLongArray()
+    val mins: Array[Long] =
+      if (h.length < window) h.clone()
+      else {
+        val out = new Array[Long](h.length - window + 1)
+        val deque = new Array[Int](h.length)
+        var head = 0
+        var tail = 0 // live index range [head, tail)
+        var i = 0
+        while (i < h.length) {
+          while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
+          deque(tail) = i
+          tail += 1
+          if (deque(head) <= i - window) head += 1
+          if (i >= window - 1) out(i - window + 1) = h(deque(head))
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(mins)
+    var w = 0
+    var r = 0
+    while (r < mins.length) {
+      if (w == 0 || mins(w - 1) != mins(r)) { mins(w) = mins(r); w += 1 }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(mins, w))
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic across JVMs /
     * engines (same recipe as the generator's doc hash). */
   def fnv1a64(s: UTF8String): Long = {
@@ -231,4 +292,8 @@ object VectorExprs {
     org.apache.spark.sql.graft.GraftExpressions.shingleSet(words, n)
   def ivfProbes(v: Column, cents: Array[Array[Double]], nProbe: Int): Column =
     org.apache.spark.sql.graft.GraftExpressions.ivfProbes(v, cents, nProbe)
+  def gramHashes(words: Column, n: Int): Column =
+    org.apache.spark.sql.graft.GraftExpressions.gramHashes(words, n)
+  def winnowSelect(hashes: Column, window: Int): Column =
+    org.apache.spark.sql.graft.GraftExpressions.winnowSelect(hashes, window)
 }

@@ -84,13 +84,8 @@ object TextAnalysis {
     * the DuckDB oracle can redo the winnowing (window-min, distinct,
     * sort, digest) independently from the same hash stream — the
     * same export scheme as the simhash signatures. */
-  def gramHashes(textCol: Column): Column = {
-    val ws = words(lower(trim(textCol)))
-    val grams = when(size(ws) < 3, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(ws) - 3), i =>
-        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3))))
-    transform(grams, g => xxhash64(g))
-  }
+  def gramHashes(textCol: Column): Column =
+    graft.functions.VectorExprs.gramHashes(words(lower(trim(textCol))), 3)
 
   /** (doc_id, hashes) export table for the winnow oracle. */
   def winnowGrams(docs: DataFrame): DataFrame =
@@ -100,17 +95,13 @@ object TextAnalysis {
     * a winnowing-style selected-hash list (k-gram rolling window,
     * min-hash per window, distinct) for robust partial-overlap
     * detection. */
-  def fingerprint(docs: DataFrame, window: Int = 4): DataFrame = {
-    val hashes = gramHashes(col("text"))
-    val winnowed = when(size(hashes) < window, array_distinct(hashes)).otherwise(
-      array_distinct(transform(sequence(lit(0), size(hashes) - window), i =>
-        array_min(slice(hashes, i + 1, lit(window))))))
+  def fingerprint(docs: DataFrame, window: Int = 4): DataFrame =
     docs.select(
       col("doc_id"),
       md5(lower(trim(col("text")))).as("md5_fp"),
-      sort_array(winnowed).as("winnow_fp"))
+      graft.functions.VectorExprs.winnowSelect(gramHashes(col("text")), window)
+        .as("winnow_fp"))
       .orderBy(col("doc_id"))
-  }
 
   /** md5-only projection (SQL-oracle-friendly subset of fingerprint). */
   def fingerprintMd5(docs: DataFrame): DataFrame =

@@ -52,41 +52,46 @@ object Details {
       col("doc_id"), col("block_idx"),
       posexplode(col(s"__path_$field")).as(Seq("__k_idx", "link_key")))
 
-  /** Child blocks → one row per child doc with its blocks as an
-    * ordered array of structs (block_idx first ⇒ sort_array orders by
-    * it — the reference's per-uid sorted key map, scrape.go:632-635). */
-  def nestChildren(childBlocks: DataFrame): DataFrame = {
-    val structCols = childBlocks.columns.filterNot(Set("doc_id", "source", "n_tok"))
-    childBlocks
-      .groupBy(col("doc_id").as("link_key"))
-      .agg(sort_array(collect_list(struct(structCols.map(col).toSeq: _*)))
-        .as("__child_blocks"))
-  }
-
   /**
    * Batch details join. Parent blocks keep all their part columns; the
    * Path column is replaced by `<field>_details`: child block structs
-   * flattened in (key order, block_idx) order; parents with no keys or
+   * in (key order, child block_idx) order; parents with no keys or
    * unresolved keys get an empty array (reference: missing detail page
    * is a fetch error recorded on the task, structure.go:182).
    *
-   * `broadcastChildren` — hint when the nested child side is known
-   * small (detail-page universe ≪ parent row count).
+   * Plan shape: ONE equi-join of link rows against child BLOCK rows
+   * (not pre-nested child docs) and ONE sorted collect per parent
+   * block. An earlier two-aggregation form (nest blocks per child doc,
+   * join, re-aggregate per parent) deep-copied every child's
+   * array-of-structs through a second collect_list/array_sort/flatten
+   * pass — measured as the dominant CPU of the details query. The
+   * struct sorts by (__k_idx, child block_idx) because block_idx is
+   * the child struct's first field — the reference's per-uid sorted
+   * key map, scrape.go:632-635.
+   *
+   * `broadcastChildren` — hint when the child-block side is known
+   * small (detail-page universe ≪ parent row count; also removes
+   * hot-link-key join skew).
    */
   def joinBatch(
       parentBlocks: DataFrame,
       field: String,
       childBlocks: DataFrame,
       broadcastChildren: Boolean = false): DataFrame = {
-    val nestedRaw = nestChildren(childBlocks)
-    val nested = if (broadcastChildren) broadcast(nestedRaw) else nestedRaw
+    val structCols = childBlocks.columns.filterNot(Set("doc_id", "source", "n_tok"))
+    val childRaw = childBlocks.select(col("doc_id").as("link_key"),
+      struct(structCols.map(col).toSeq: _*).as("__cb"))
+    val child = if (broadcastChildren) broadcast(childRaw) else childRaw
     val perParent = linkRows(parentBlocks, field)
-      .join(nested, Seq("link_key"), "left")
+      .join(child, Seq("link_key"), "left")
       .groupBy(col("doc_id"), col("block_idx"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__k_idx"),
-          coalesce(col("__child_blocks"), array()).as("b")))),
-        x => x("b"))).as(s"${field}_details"))
+      // unresolved keys join to a null __cb; the when(...) leaves those
+      // entries NULL and collect_list drops nulls — key skipped, as the
+      // old coalesce(empty-array) flatten did
+      .agg(transform(
+        array_sort(collect_list(when(col("__cb").isNotNull,
+          struct(col("__k_idx"), col("__cb"))))),
+        x => x("__cb")).as(s"${field}_details"))
     parentBlocks
       .join(perParent, Seq("doc_id", "block_idx"), "left")
       .drop(s"__path_$field")

@@ -30,6 +30,42 @@ object GraftExpressions {
     ExpressionUtils.column(ShingleSet(ExpressionUtils.expression(words), n))
   def ivfProbes(v: Column, cents: Array[Array[Double]], nProbe: Int): Column =
     ExpressionUtils.column(IvfProbes(ExpressionUtils.expression(v), cents, nProbe))
+  def gramHashes(words: Column, n: Int): Column =
+    ExpressionUtils.column(GramHashes(ExpressionUtils.expression(words), n))
+  def winnowSelect(hashes: Column, window: Int): Column =
+    ExpressionUtils.column(WinnowSelect(ExpressionUtils.expression(hashes), window))
+}
+
+/** `gram_hashes(array<string>) -> array<bigint>`: xxhash64 (seed 42,
+  * = SQL xxhash64 of the concat_ws(" ") gram) per n-word gram. */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(words: Any): Any =
+    VectorKernels.gramHashes(words.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.VectorKernels.gramHashes($w, $n)")
+
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
+}
+
+/** `winnow_select(array<bigint>) -> array<bigint>`: sorted distinct
+  * window-minima (winnowing fingerprint selection), one O(n) pass. */
+case class WinnowSelect(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(hashes: Any): Any =
+    VectorKernels.winnowSelect(hashes.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.VectorKernels.winnowSelect($h, $window)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowSelect = copy(child = c)
 }
 
 /** `ivf_probes(array<float|double>) -> array<int>`: top-nProbe

@@ -26,6 +26,74 @@ object TokenExpressions {
   }
   def decodeJoin(payload: Column): Column =
     ExpressionUtils.column(DecodeJoin(ExpressionUtils.expression(payload)))
+  def payloadsForTag(fields: Column, tag: Int): Column =
+    ExpressionUtils.column(PayloadsForTag(ExpressionUtils.expression(fields), tag))
+  def decodeAll(payloads: Column, ops: Int): Column =
+    ExpressionUtils.column(DecodeAll(ExpressionUtils.expression(payloads), ops))
+  def findAllFlat(payloads: Column, pattern: Seq[Int]): Column = {
+    val pat = org.apache.spark.sql.functions.array(
+      pattern.map(org.apache.spark.sql.functions.lit): _*)
+    ExpressionUtils.column(FindAllFlat(
+      ExpressionUtils.expression(payloads), ExpressionUtils.expression(pat)))
+  }
+  def intJoinAll(payloads: Column): Column =
+    ExpressionUtils.column(IntJoinAll(ExpressionUtils.expression(payloads)))
+}
+
+/** `decode_all(array<array<int>>) -> array<string>`: decodeJoin +
+  * packed filter chain per payload (TokenKernels.decodeAll). */
+case class DecodeAll(child: Expression, ops: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(ArrayType(IntegerType)))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(p: Any): Any =
+    TokenKernels.decodeAll(p.asInstanceOf[ArrayData], ops)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.TokenKernels.decodeAll($p, $ops)")
+  override protected def withNewChildInternal(c: Expression): DecodeAll = copy(child = c)
+}
+
+/** `find_all_flat(array<array<int>>, pattern) -> array<int>`: per-
+  * payload findAll positions, flattened. */
+case class FindAllFlat(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ArrayType(IntegerType)), ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(p: Any, q: Any): Any =
+    TokenKernels.findAllFlat(p.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, q) => s"graft.functions.TokenKernels.findAllFlat($p, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FindAllFlat =
+    copy(left = l, right = r)
+}
+
+/** `int_join_all(array<array<int>>) -> string`: decimal tokens
+  * space-joined per payload, payloads '|'-joined. */
+case class IntJoinAll(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(ArrayType(IntegerType)))
+  override def dataType: DataType = StringType
+  override def nullSafeEval(p: Any): Any =
+    TokenKernels.intJoinAll(p.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.functions.TokenKernels.intJoinAll($p)")
+  override protected def withNewChildInternal(c: Expression): IntJoinAll = copy(child = c)
+}
+
+/** `payloads_for_tag(array<array<int>>) -> array<array<int>>`: the
+  * tag-stripped payloads of the fields headed by `tag` (fused
+  * filter+slice of the extraction compiler's per-selector pair). */
+case class PayloadsForTag(child: Expression, tag: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(ArrayType(IntegerType)))
+  override def dataType: DataType = ArrayType(ArrayType(IntegerType, containsNull = false))
+  override def nullSafeEval(fields: Any): Any =
+    TokenKernels.payloadsForTag(fields.asInstanceOf[ArrayData], tag)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, f =>
+      s"graft.functions.TokenKernels.payloadsForTag($f, $tag)")
+  override protected def withNewChildInternal(c: Expression): PayloadsForTag = copy(child = c)
 }
 
 case class SplitBlocks(child: Expression, recordStart: Int)
