@@ -339,7 +339,9 @@ object Bench {
       })
 
     // 1. per-query batch timings (driver contract)
-    val results = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty else {
+    val (results, queryEnv) = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES"))
+      (Seq.empty[(String, Double)], "{}")
+    else {
       val spark = session(cpus)
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")) {
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -360,10 +362,20 @@ object Bench {
       val picked = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
         nameFilter.isEmpty || nameFilter.exists(n.contains)
       }
-      // min-of-K per query (default 1): this box's ambient host-side
-      // contention swings identical runs up to ~4× (BASELINE.md); the
-      // min is the engine's number, the swing is the machine's
-      val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "1").toInt
+      // min-of-K per query (default 3): this box's ambient host-side
+      // contention swings identical runs up to ~10× (BASELINE.md — one
+      // recorded window inflated a 0.3 s md5 query to 11 s); the min
+      // is the engine's number, the swing is the machine's. Three reps
+      // also absorb the first-execution JIT/page-cache pass, which
+      // alone is 5-50× the warm cost for the short queries.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+      // ambient-interference evidence for the per-query section (the
+      // stream section already carries per-attempt steal/membw): DRAM
+      // bandwidth + steal sampled around the whole query block ride in
+      // the JSON as `query_env` so a degraded host window is visible
+      // in the artifact instead of masquerading as a slow engine
+      val bwBefore = memBwProbe()
+      val (qSteal0, qTotal0) = cpuJiffies()
       val r = picked.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -382,7 +394,12 @@ object Bench {
         name -> times.min
       }
       spark.stop()
-      r
+      val bwAfter = memBwProbe()
+      val (qSteal1, qTotal1) = cpuJiffies()
+      val qStealPct =
+        if (qTotal1 > qTotal0) 100.0 * (qSteal1 - qSteal0) / (qTotal1 - qTotal0) else 0.0
+      (r, f"""{"reps":$reps,"membw_gbs_before":$bwBefore%.1f,""" +
+        f""""membw_gbs_after":$bwAfter%.1f,"steal_pct":$qStealPct%.2f}""")
     }
 
     // 2. streaming throughput at N and 4N threads, same input.
@@ -395,7 +412,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir"}""")
       return
     }
     val (rateN, rowsN, okN, attN, rate4N, rows4N, ok4N, att4N) =
@@ -447,6 +464,6 @@ object Bench {
       f""""rate_n":$rateN%.1f,"rate_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,""" +
       s""""verified":${okN && ok4N && rowsN == rows4N},""" +
       s""""attempts_n":$attN,"attempts_4n":$att4N}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream":$stream}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir","stream":$stream}""")
   }
 }

@@ -178,7 +178,10 @@ object TokenEngine {
       .select(col("doc_id"), col("block_idx"),
         array_join(col("Names_text"), "|").as("Names_text"), col("Names_count"),
         size(col("Links_details")).as("n_details"))
-      .orderBy(col("doc_id"), col("block_idx"))
+    // no final orderBy: ordered read-back (W1) is a sink-side property
+    // pinned by extract_flat; here a global range-sort of the wide
+    // joined rows would be the single most expensive stage of the
+    // query, and the driver compare re-sorts rows itself
   }
 
   /** Token-pattern find-all (the regex analog, P3) — positions of a
