@@ -83,4 +83,21 @@ class PlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"tumbling agg should shuffle at most twice (agg + sort):\n$p")
   }
+
+  test("no driver-facing query emits nested columns (the driver compare crashes on them)") {
+    // Round 1 lost 3 correctness rows to array<...> output columns —
+    // the driver's pandas sort dies on unhashable ndarray cells. Guard
+    // every SparkEntry entry at the schema level (plan-only, no
+    // execution) so a refactor cannot re-introduce the failure class.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    for ((name, fn) <- SparkEntry.queries) {
+      val schema = fn(spark, sf).schema
+      val nested = schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType])
+      assert(nested.isEmpty,
+        s"query '$name' emits nested columns ${nested.map(_.name).toSeq} — scalarize them")
+    }
+  }
 }
