@@ -84,6 +84,25 @@ final class ResultTable(val root: String) {
   }
 
   /**
+   * Streaming read of the table — the downstream half of a multi-stage
+   * topology (stage 1 lands extracted rows here; stage 2 streams them
+   * into further stateful operators, each stage independently
+   * checkpointed and resumable).
+   *
+   * Honest scope note: this is a plain file stream over the data
+   * directory, correct when the upstream query is quiescent or
+   * strictly ahead (sequential stages, the common batch-of-streams
+   * deployment). A reader concurrent with an upstream CRASH could
+   * observe a batch's orphaned first write and its replayed rewrite
+   * as distinct files — deduping that requires a snapshot-aware
+   * source reading the commit log (what `iceberg-spark-runtime`'s
+   * streaming read does; this class is its stand-in, SURVEY §7.0).
+   */
+  def readStream(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(s"$root/data/*")
+
+  /**
    * The foreachBatch writer. Commit-epoch dedup: a batchId already in
    * the log is skipped entirely (replay after checkpoint recovery).
    * Data files are written BEFORE the commit file; a crash between the

@@ -106,6 +106,68 @@ class DetailsSpec extends SparkSuite {
     assert(grand.head.getAs[scala.collection.Seq[String]]("G_text") == Seq("35"))
   }
 
+  test("two-stage topology: stage 1 lands parents+links in the table, stage 2 streams it into the details join") {
+    // The deployment shape Details.scala documents (Spark cannot chain
+    // flatMapGroupsWithState into further stateful operators in one
+    // query): stage 1 = fragments → stitch → extract (incl. Path
+    // links) → exactly-once tableA; stage 2 = tableA.readStream →
+    // link rows → watermarked stream-stream join with the child
+    // stream → exactly-once tableB. Stages run sequentially (the
+    // readStream contract) with independent checkpoints.
+    import graft.gen.Fragment
+    import graft.sink.ResultTable
+    import graft.streaming.StreamJob
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-2stage")
+    val tableA = new ResultTable(base.resolve("parents").toString)
+    val tableB = new ResultTable(base.resolve("joined").toString)
+    def ts(s: Long) = new Timestamp(TokenGen.BASE_EPOCH_MS + s * 1000L)
+    def frag(doc: String, toks: Array[Int], sec: Long) =
+      Fragment(doc, toks, toks.length, "s1", ts(sec), 0, 0, is_dup = false, is_late = false)
+
+    // stage 1 — p1 links to 5K (token 200), p2 has no links
+    val mem = MemoryStream[Fragment]
+    val q1 = StreamJob.run(mem.toDS(), parentSpec, tableA,
+      base.resolve("ck1").toString, "stage1",
+      watermarkDelay = "5 seconds", sessionGapMs = 10000L,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData(frag("p1", Array(2, 3, 100, 1, 5, 200, 1), 100),
+        frag("p2", Array(2, 3, 300, 1), 101))
+      q1.processAllAvailable()
+      mem.addData(frag("~flush", Array(2), 1000))
+      q1.processAllAvailable()
+      mem.addData(frag("~flush2", Array(2), 2000))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val landed = tableA.read(spark)
+    assert(landed.filter(!$"doc_id".startsWith("~")).count() == 2, "both parents landed")
+    assert(landed.columns.contains("__path_Links"), "link keys land with the row")
+
+    // stage 2 — stream tableA, explode link rows, band-join children
+    val links = tableA.readStream(spark, landed.schema)
+      .select($"doc_id".as("parent_id"), $"event_time".as("p_time"),
+        explode($"__path_Links").as("link_key"))
+    val kids = MemoryStream[(String, String, Timestamp)]
+    val joined = Details.joinStream(
+      links, kids.toDF().toDF("c_doc_id", "c_val", "c_time"),
+      watermarkDelay = "10 seconds", bandSeconds = 60L)
+    val q2 = joined.writeStream
+      .queryName("stage2")
+      .outputMode("append")
+      .option("checkpointLocation", base.resolve("ck2").toString)
+      .foreachBatch(tableB.appendBatch("stage2") _)
+      .start()
+    try {
+      kids.addData(("5K", "v-in-band", ts(130)),  // +30s: within the band
+        ("5K", "v-out", ts(400)))                 // +300s: outside
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = tableB.read(spark).select("parent_id", "c_val")
+      .as[(String, String)].collect().toSet
+    assert(got == Set("p1" -> "v-in-band"), s"got $got")
+  }
+
   test("streaming details join: watermarked band join matches in-band children only") {
     def ts(s: Long) = new Timestamp(TokenGen.BASE_EPOCH_MS + s * 1000L)
     val links = MemoryStream[(String, String, Timestamp)]
