@@ -39,6 +39,7 @@ object SparkEntry {
     "tag_histogram" -> (TokenEngine.tagHistogram _),
     "token_pattern" -> (TokenEngine.tokenPattern _),
     "details_join" -> (TokenEngine.detailsJoin _),
+    "paginate_crawl" -> (TokenEngine.paginateCrawl _),
     // training-data pipeline (dedup / similarity / text analysis /
     // multimodal) — SQL-expressible ones DuckDB-checked, LSH/winnow/
     // multimodal rows-only + PipelineSpec
@@ -236,6 +237,33 @@ object SparkEntry {
         |  CAST(coalesce(kd.nd, 0) AS INT) AS n_details
         |FROM m LEFT JOIN kd ON m.doc_id = kd.doc_id AND m.block_idx = kd.block_idx
         |ORDER BY m.doc_id, block_idx""".stripMargin),
+    // the crawl traversal re-implemented as a recursive walk over the
+    // exported page universe (a SUPERSET of what the crawl may reach):
+    // stop conditions, cycle guard, maxPages cap, page order and the
+    // per-origin aggregation are all DuckDB's own; only the next-key
+    // scalar (PaginateSpec-pinned) and the synthetic web are shared
+    "paginate_crawl" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT * FROM read_parquet('{GRAFT_OUT}/_tables/crawl_pages/*.parquet')),
+        |walk AS (
+        |  SELECT o.origin, o.origin AS key, 0 AS page_idx,
+        |    [o.origin] AS path
+        |  FROM read_parquet('{GRAFT_OUT}/_tables/crawl_origins/*.parquet') o
+        |  JOIN pages p ON p.key = o.origin
+        |  UNION ALL
+        |  SELECT w.origin, p.next_key, w.page_idx + 1,
+        |    list_append(w.path, p.next_key)
+        |  FROM walk w
+        |  JOIN pages p ON p.key = w.key
+        |  JOIN pages pn ON pn.key = p.next_key
+        |  WHERE p.next_key IS NOT NULL AND len(p.next_key) > 0
+        |    AND NOT list_contains(w.path, p.next_key)
+        |    AND w.page_idx + 1 < 8)
+        |SELECT w.origin, CAST(COUNT(*) AS INT) AS n_pages,
+        |  CAST(SUM(p.n_tok) AS BIGINT) AS total_tok,
+        |  md5(string_agg(w.key, '|' ORDER BY w.page_idx)) AS chain_md5
+        |FROM walk w JOIN pages p ON p.key = w.key
+        |GROUP BY w.origin ORDER BY w.origin""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

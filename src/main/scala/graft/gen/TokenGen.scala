@@ -186,6 +186,23 @@ object TokenGen {
     }.toDF("doc_id", "tokens", "n_tok", "source")
   }
 
+  /** Deterministic page universe for the pagination crawl (reference
+    * paginate/paginate.go) — same pure key→page scheme as
+    * [[childTokens]] but in its own namespace so crawl chains and
+    * details traversals never collide. */
+  def pageTokens(key: String): Array[Int] =
+    docTokens(new Rng(SEED ^ fnv1a("page/" + key)))
+
+  /** Page table for a set of crawl keys: canonical input_hint schema
+    * with source="page". One row per distinct key. */
+  def pageDocs(spark: SparkSession, keys: Dataset[String]): DataFrame = {
+    import spark.implicits._
+    keys.distinct().map { k =>
+      val t = pageTokens(k)
+      (k, t, t.length, "page")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+  }
+
   /** Canonical stored table per input_hint: one row per document
     * (fragments pre-stitched, duplicates dropped) — what the Iceberg
     * table of pre-tokenized sequences would contain at rest. */

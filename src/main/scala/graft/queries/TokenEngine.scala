@@ -184,6 +184,73 @@ object TokenEngine {
     // query, and the driver compare re-sorts rows itself
   }
 
+  /** Selector tag of the "next page" link field used by the crawl
+    * queries (any tag in [MIN_TAG, MIN_TAG+9] works; 7 keeps it
+    * disjoint from the extraction specs' 3/4/5/6). */
+  val NEXT_TAG: Int = 7
+
+  /** Pages per chain cap for the crawl queries — reference MAX_PAGES. */
+  val CRAWL_MAX_PAGES: Int = 8
+
+  private def crawlOrigins(spark: SparkSession, dir: String): DataFrame = {
+    val n = scaleOf(dir) match {
+      case s if s >= 0.1  => 20000L
+      case s if s >= 0.01 => 2000L
+      case _              => 200L
+    }
+    spark.range(n).select(format_string("crawl/%06d", col("id")).as("origin"))
+  }
+
+  /** Pagination crawl (J2 generator side, reference
+    * paginate/paginate.go + scrape.go:394-427): BySelector chains over
+    * the deterministic page universe, aggregated per origin. The
+    * traversal itself (stop conditions, cycle guard, maxPages, page
+    * order) is re-verified by a DuckDB recursive CTE over the exported
+    * page universe ([[crawlUniverse]]). */
+  def paginateCrawl(spark: SparkSession, dir: String): DataFrame = {
+    val pages = graft.streaming.Paginate.crawl(
+      crawlOrigins(spark, dir),
+      (s, keys) => graft.gen.TokenGen.pageDocs(s, keys),
+      (_, tokens) => graft.streaming.Paginate.nextKeyBySelector(tokens, NEXT_TAG),
+      maxPages = CRAWL_MAX_PAGES)
+    pages.groupBy(col("origin"))
+      .agg(
+        count(lit(1)).cast("int").as("n_pages"),
+        sum(col("n_tok")).cast("bigint").as("total_tok"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("page_idx"), col("key")))),
+          x => x("key")), "|")).as("chain_md5"))
+      .orderBy(col("origin"))
+  }
+
+  /** Superset of the crawl-reachable page universe, exported by Verify
+    * for the DuckDB oracle: expand from the origins for
+    * CRAWL_MAX_PAGES+2 levels IGNORING the crawl's per-chain stop
+    * logic (only a global seen-set bounds it), so the oracle's
+    * recursive walk re-implements the traversal against a strictly
+    * larger key space — the only shared pieces are the next-key scalar
+    * (pinned by PaginateSpec) and the synthetic web itself. */
+  def crawlUniverse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nk = graft.streaming.Paginate
+      .nextKeyBySelector(col("tokens"), NEXT_TAG)
+    var seen = crawlOrigins(spark, dir).select(col("origin").as("key"))
+      .localCheckpoint()
+    var frontier = seen
+    for (_ <- 0 until CRAWL_MAX_PAGES + 2 if !frontier.isEmpty) {
+      val next = graft.gen.TokenGen.pageDocs(spark, frontier.as[String])
+        .select(nk.as("key"))
+        .filter(col("key").isNotNull && length(col("key")) > 0)
+        .distinct()
+        .except(seen)
+        .localCheckpoint()
+      seen = seen.union(next).localCheckpoint()
+      frontier = next
+    }
+    graft.gen.TokenGen.pageDocs(spark, seen.as[String])
+      .select(col("doc_id").as("key"), col("n_tok"), nk.as("next_key"))
+  }
+
   /** Token-pattern find-all (the regex analog, P3) — positions of a
     * 2-token subsequence within Names payloads. The generator plants
     * the [100,101] bigram at a seeded rate (TokenGen.docTokens) so the
