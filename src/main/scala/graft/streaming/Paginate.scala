@@ -140,11 +140,15 @@ object Paginate {
         .withColumnRenamed("doc_id", "key")
       // inner join: an unresolved key ends its chain (the reference
       // records a fetch error on the task and stops paginating)
+      // ONE materialization per level (keys only — bounds lineage AND
+      // memory); the next frontier is a narrow filter over it, so it
+      // needs no checkpoint of its own and the loop's emptiness probe
+      // reads cached blocks
       val level = frontier
         .join(fetched.select(col("key"), col("tokens")), Seq("key"), "inner")
         .select(col("origin"), col("key"), col("page_idx"), col("__visited"),
           nextKey(col("key"), col("tokens")).as("__next"))
-        .localCheckpoint() // keys only — bounds lineage AND memory
+        .localCheckpoint()
       levels += level.select(col("origin"), col("page_idx"), col("key"))
       frontier = level
         .filter(col("__next").isNotNull && length(col("__next")) > 0 &&
@@ -153,7 +157,6 @@ object Paginate {
         .select(col("origin"), col("__next").as("key"),
           (col("page_idx") + 1).as("page_idx"),
           array_union(col("__visited"), array(col("__next"))).as("__visited"))
-        .localCheckpoint()
     }
 
     val emitted = levels.reduceOption(_ unionByName _).getOrElse(
