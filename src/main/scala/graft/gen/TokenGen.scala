@@ -173,34 +173,43 @@ object TokenGen {
     * extracted Path key resolves to the same child tokens everywhere,
     * so parent and child sides can be generated independently at any
     * scale with no driver-side state. */
-  def childTokens(key: String): Array[Int] =
-    docTokens(new Rng(SEED ^ fnv1a("child/" + key)))
+  def childTokens(key: String): Array[Int] = synthTokens("child/", key)
+
+  /** Shared kernel of the deterministic key→page functions: page
+    * tokens for `key` under namespace `ns` — called both from the
+    * Scala helpers and (statically) from the SynthPage codegen
+    * expression, so the generated-code path is definitionally equal
+    * to the Scala one. */
+  def synthTokens(ns: String, key: String): Array[Int] =
+    docTokens(new Rng(SEED ^ fnv1a(ns + key)))
 
   /** Child-doc table for a set of link keys: canonical input_hint
     * schema with source="details". */
-  def childDocs(spark: SparkSession, keys: Dataset[String]): DataFrame = {
-    import spark.implicits._
-    keys.distinct().map { k =>
-      val t = childTokens(k)
-      (k, t, t.length, "details")
-    }.toDF("doc_id", "tokens", "n_tok", "source")
-  }
+  def childDocs(spark: SparkSession, keys: Dataset[String]): DataFrame =
+    synthDocs(keys, "child/", "details")
 
   /** Deterministic page universe for the pagination crawl (reference
     * paginate/paginate.go) — same pure key→page scheme as
     * [[childTokens]] but in its own namespace so crawl chains and
     * details traversals never collide. */
-  def pageTokens(key: String): Array[Int] =
-    docTokens(new Rng(SEED ^ fnv1a("page/" + key)))
+  def pageTokens(key: String): Array[Int] = synthTokens("page/", key)
 
   /** Page table for a set of crawl keys: canonical input_hint schema
     * with source="page". One row per distinct key. */
-  def pageDocs(spark: SparkSession, keys: Dataset[String]): DataFrame = {
-    import spark.implicits._
-    keys.distinct().map { k =>
-      val t = pageTokens(k)
-      (k, t, t.length, "page")
-    }.toDF("doc_id", "tokens", "n_tok", "source")
+  def pageDocs(spark: SparkSession, keys: Dataset[String]): DataFrame =
+    synthDocs(keys, "page/", "page")
+
+  /** key set → input_hint table under namespace `ns`: distinct keys,
+    * then the SynthPage codegen expression per row — no typed map, no
+    * Encoder round-trip; the whole resolve stays in whole-stage
+    * codegen after the distinct's exchange. */
+  private def synthDocs(keys: Dataset[String], ns: String, source: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    keys.toDF("doc_id").distinct()
+      .withColumn("tokens",
+        org.apache.spark.sql.graft.TokenExpressions.synthPage(col("doc_id"), ns))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("source", lit(source))
   }
 
   /** Canonical stored table per input_hint: one row per document

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -38,6 +38,29 @@ object TokenExpressions {
   }
   def intJoinAll(payloads: Column): Column =
     ExpressionUtils.column(IntJoinAll(ExpressionUtils.expression(payloads)))
+  def synthPage(key: Column, ns: String): Column =
+    ExpressionUtils.column(SynthPage(ExpressionUtils.expression(key), ns))
+}
+
+/** `synth_page(key) -> array<int>`: the deterministic key→page
+  * function of the synthetic web (TokenGen.synthTokens) as a codegen
+  * expression — the test/bench stand-in for a stored-table lookup
+  * resolve, kept narrow so the details/crawl resolvers have no typed
+  * map or Encoder round-trip in their plans. */
+case class SynthPage(child: Expression, ns: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(k: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.gen.TokenGen.synthTokens(ns, k.toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("ns", ns, "java.lang.String")
+    defineCodeGen(ctx, ev, k =>
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.gen.TokenGen.synthTokens($nsRef, $k.toString()))")
+  }
+  override protected def withNewChildInternal(c: Expression): SynthPage = copy(child = c)
 }
 
 /** `decode_all(array<array<int>>) -> array<string>`: decodeJoin +

@@ -139,6 +139,19 @@ class PaginateSpec extends SparkSuite {
       nPages.max <= graft.queries.TokenEngine.CRAWL_MAX_PAGES)
   }
 
+  test("SynthPage codegen expression equals the Scala key→page functions") {
+    val keys = Seq("a", "x?page=3", "2S 2T", "ünïcødé-key", "")
+    val got = keys.toDF("k")
+      .select(col("k"),
+        org.apache.spark.sql.graft.TokenExpressions.synthPage(col("k"), "page/").as("p"),
+        org.apache.spark.sql.graft.TokenExpressions.synthPage(col("k"), "child/").as("c"))
+      .as[(String, Array[Int], Array[Int])].collect()
+    got.foreach { case (k, p, c) =>
+      assert(p.toSeq == graft.gen.TokenGen.pageTokens(k).toSeq, s"page mismatch for '$k'")
+      assert(c.toSeq == graft.gen.TokenGen.childTokens(k).toSeq, s"child mismatch for '$k'")
+    }
+  }
+
   test("crawl universe export covers every page the crawl visits, with matching next keys") {
     val uni = graft.queries.TokenEngine.crawlUniverse(spark, "sf0.001")
       .select("key").as[String].collect().toSet
