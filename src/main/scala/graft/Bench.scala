@@ -386,9 +386,13 @@ object Bench {
           // physical plan's rows evaluates every output column.
           try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch { case _: Throwable => -1L }
-          // per-query cache lifecycle: dedup queries cache shingle sets;
-          // without this, cached blocks accumulate across the query list
+          // per-query cache lifecycle: dedup queries cache shingle sets
+          // and details levels localCheckpoint; without this, cached
+          // blocks accumulate across the query list (clearCache covers
+          // catalog-cached plans only, not RDD-level checkpoint blocks)
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

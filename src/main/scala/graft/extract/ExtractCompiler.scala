@@ -191,8 +191,19 @@ object ExtractCompiler {
       spec: ExtractionSpec,
       resolve: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.Dataset[String]) => DataFrame,
       broadcastChildren: Boolean = true): DataFrame = {
-    val base = compile(docs, spec)
-    spec.fields.filter(_.details.nonEmpty).foldLeft(base) { (df, f) =>
+    val compiled = compile(docs, spec)
+    val detailFields = spec.fields.filter(_.details.nonEmpty)
+    // A details level consumes the extracted parents from THREE plan
+    // branches — key resolution, link rows, and the final nest join —
+    // and Spark executes each subtree independently, re-running the
+    // whole extraction per branch (measured: 3× the extraction CPU of
+    // the query). Materialize the level once; this is the batch analog
+    // of the streaming topology's ResultTable boundary between the
+    // extract and details queries (Details.scala deployment note), so
+    // at cluster scale the same cut is a persisted table, not lineage.
+    val base =
+      if (detailFields.isEmpty) compiled else compiled.localCheckpoint()
+    detailFields.foldLeft(base) { (df, f) =>
       val spark = df.sparkSession
       import spark.implicits._
       val keys = df.select(explode(col(s"__path_${f.name}")).as("k")).as[String]
