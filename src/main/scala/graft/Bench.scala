@@ -120,6 +120,38 @@ object Bench {
     0.25 / dt // array is 256 MB = 0.25 GB
   }
 
+  /** Bounded quiet-window gate. This host's DRAM throttling drifts on
+    * a minutes scale (probe ~7 GB/s quiet, 2-3 GB/s degraded — see
+    * BASELINE.md) and a level measured in a degraded window is
+    * incomparable with one measured quiet: one recorded full run
+    * produced per-pair ratios of 0.224 and 1.111 back-to-back, both
+    * measurement artifacts of the window, not the engine. Before each
+    * measured section, wait (bounded by a SHARED budget across the
+    * whole run) until the probe clears `SPARK_GRAFT_MEMBW_GATE`
+    * (default 4.0 GB/s — between the degraded and quiet plateaus).
+    * The gate never discards data — it only chooses WHEN to start
+    * measuring; the final probe reading and the seconds waited ride
+    * in the artifact so a run that had to proceed degraded is visible
+    * as such. Returns (lastProbeGBs, waitedSec). */
+  private val gateGBs = sys.env.getOrElse("SPARK_GRAFT_MEMBW_GATE", "4.0").toDouble
+  private val gateBudget = new java.util.concurrent.atomic.AtomicLong(
+    sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "1200").toLong)
+  private def quietGate(tag: String): (Double, Long) = {
+    var bw = memBwProbe()
+    var waited = 0L
+    while (bw < gateGBs && gateBudget.get() > 0) {
+      val step = math.min(30L, gateBudget.get())
+      gateBudget.addAndGet(-step)
+      waited += step
+      Thread.sleep(step * 1000)
+      bw = memBwProbe()
+    }
+    if (waited > 0 || bw < gateGBs)
+      System.err.println(f"[bench gate $tag] membw=$bw%.1fGB/s waited=${waited}s " +
+        f"(gate=$gateGBs%.1f, budget_left=${gateBudget.get()}s)")
+    (bw, waited)
+  }
+
   /** Files per micro-batch for a given layout parallelism (the 4N
     * level by default — both levels read the same layout). */
   private def filesPerBatch(layoutCpus: Int): Int = {
@@ -374,6 +406,7 @@ object Bench {
       // bandwidth + steal sampled around the whole query block ride in
       // the JSON as `query_env` so a degraded host window is visible
       // in the artifact instead of masquerading as a slow engine
+      val (_, qWaited) = quietGate("queries")
       val bwBefore = memBwProbe()
       val (qSteal0, qTotal0) = cpuJiffies()
       val r = picked.map { case (name, fn) =>
@@ -403,7 +436,7 @@ object Bench {
       val qStealPct =
         if (qTotal1 > qTotal0) 100.0 * (qSteal1 - qSteal0) / (qTotal1 - qTotal0) else 0.0
       (r, f"""{"reps":$reps,"membw_gbs_before":$bwBefore%.1f,""" +
-        f""""membw_gbs_after":$bwAfter%.1f,"steal_pct":$qStealPct%.2f}""")
+        f""""membw_gbs_after":$bwAfter%.1f,"steal_pct":$qStealPct%.2f,"gate_waited_sec":$qWaited}""")
     }
 
     // 2. streaming throughput at N and 4N threads, same input.
@@ -476,32 +509,59 @@ object Bench {
               (nPairs + 1).toString).toInt
             val target = 0.8
             val pairs = scala.collection.mutable.ArrayBuffer
-              .empty[((Double, Long, Boolean, String, Long), (Double, Long, Boolean, String, Long))]
+              .empty[((Double, Long, Boolean, String, Long), (Double, Long, Boolean, String, Long), (Double, Long), (Double, Long))]
             var k = 0
-            def bestEff: Double = pairs.map { case (p1, p4) =>
+            def effOf(p1: (Double, Long, Boolean, String, Long),
+                p4: (Double, Long, Boolean, String, Long)): Double =
               if (p1._1 > 0) p4._1 / p1._1 / 4.0 else 0.0
-            }.foldLeft(0.0)(math.max)
+            // a pair is CREDIBLE when its ratio is not superlinear
+            // (≤1.02, small noise tolerance): a ratio above that means
+            // the N level ran more throttled than the 4N level and the
+            // pair's ratio says nothing about the engine
+            def credible(e: Double): Boolean = e <= 1.02
+            def bestEff: Double = pairs.map { case (p1, p4, _, _) => effOf(p1, p4) }
+              .filter(credible).foldLeft(0.0)(math.max)
             while (k < nPairs || (k < maxPairs && bestEff < target)) {
               k += 1
+              // gate each LEVEL, not just the pair: the degraded↔quiet
+              // transition happens on a minutes scale, i.e. between the
+              // two levels of one pair — which is exactly what makes a
+              // pair internally inconsistent
+              val g4 = quietGate(s"pair$k-4n")
               val p4 = level(baseCpus * 4)
+              val g1 = quietGate(s"pair$k-n")
               val p1 = level(baseCpus)
               System.err.println(
                 f"[bench pair $k] rate_4n=${p4._1}%.1f rate_n=${p1._1}%.1f eff=${p4._1 / p1._1 / 4.0}%.3f")
-              pairs += ((p1, p4))
+              pairs += ((p1, p4, g1, g4))
             }
-            val best = pairs.maxBy { case (p1, p4) =>
-              if (p1._1 > 0.0) p4._1 / p1._1 else 0.0
+            // select among credible pairs when any exist; only if every
+            // pair came out superlinear (all-degraded run) fall back to
+            // all pairs — the cap below keeps the report conservative
+            val pool = {
+              val c = pairs.filter { case (p1, p4, _, _) => credible(effOf(p1, p4)) }
+              if (c.nonEmpty) c else pairs
             }
+            val best = pool.maxBy { case (p1, p4, _, _) => effOf(p1, p4) }
             val (r1, n1, ok1, _, _) = best._1
             val (r4, n4, ok4, _, _) = best._2
             val allA1 = pairs.map(_._1._4.stripPrefix("[").stripSuffix("]"))
               .filter(_.nonEmpty).mkString("[", ",", "]")
             val allA4 = pairs.map(_._2._4.stripPrefix("[").stripSuffix("]"))
               .filter(_.nonEmpty).mkString("[", ",", "]")
-            val pj = pairs.map { case (p1, p4) =>
-              f"""{"rate_n":${p1._1}%.1f,"rate_4n":${p4._1}%.1f,"efficiency":${if (p1._1 > 0) p4._1 / p1._1 / 4.0 else 0.0}%.3f}"""
+            val pj = pairs.map { case (p1, p4, g1, g4) =>
+              f"""{"rate_n":${p1._1}%.1f,"rate_4n":${p4._1}%.1f,""" +
+              f""""efficiency":${if (p1._1 > 0) p4._1 / p1._1 / 4.0 else 0.0}%.3f,""" +
+              f""""gate_n":{"membw_gbs":${g1._1}%.1f,"waited_sec":${g1._2}},""" +
+              f""""gate_4n":{"membw_gbs":${g4._1}%.1f,"waited_sec":${g4._2}}}"""
             }.mkString("[", ",", "]")
-            (r1, n1, ok1, allA1, r4, n4, ok4, allA4, pj, if (r1 > 0) r4 / r1 / 4.0 else 0.0)
+            // a ratio above 1.0 is superlinear — physically it means
+            // the N (denominator) level ran in a more throttled window
+            // than the 4N level, not that the engine scales >100%.
+            // Report the conservative min(ratio, 1.0); the raw per-pair
+            // ratios stay in `pairs` as evidence.
+            val rawEff = if (r1 > 0) r4 / r1 / 4.0 else 0.0
+            (r1, n1, ok1, allA1, r4, n4, ok4, allA4, pj, math.min(rawEff, 1.0))
           } finally rmTree(java.nio.file.Paths.get(inDir))
       }
 
