@@ -50,7 +50,7 @@ final case class JarState(cookies: Array[String], lastEventMs: Long)
  */
 object SessionJar {
 
-  private def merge(jar: Array[String], set: Array[String]): Array[String] = {
+  private[streaming] def merge(jar: Array[String], set: Array[String]): Array[String] = {
     if (set == null || set.isEmpty) jar
     else {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -62,6 +62,30 @@ object SessionJar {
     }
   }
 
+  /** The semantics, shared by both state-API bindings: fold one
+    * batch's events (sorted into event-time order so out-of-order
+    * arrival within a micro-batch cannot leak a later cookie into an
+    * earlier event's jar) over the jar state; TTL can also lapse
+    * BETWEEN events inside one batch window. */
+  private[streaming] def foldEvents(
+      token: String,
+      rows: Iterator[CookieEvent],
+      init: JarState,
+      ttlMs: Long): (Array[HydratedEvent], JarState) = {
+    val ordered = rows.toArray.sortBy(e => (e.event_time.getTime, e.doc_id))
+    var s = init
+    val out = ordered.map { e =>
+      val live =
+        if (s.lastEventMs != Long.MinValue &&
+          e.event_time.getTime - s.lastEventMs > ttlMs) JarState(Array.empty, s.lastEventMs)
+        else s
+      val hydrated = HydratedEvent(token, e.doc_id, e.event_time, live.cookies)
+      s = JarState(merge(live.cookies, e.set_cookies), e.event_time.getTime)
+      hydrated
+    }
+    (out, s)
+  }
+
   private def update(ttlMs: Long)(
       token: String,
       rows: Iterator[CookieEvent],
@@ -70,18 +94,8 @@ object SessionJar {
       state.remove() // TTL expiry — the diskv Expired() analog
       Iterator.empty
     } else {
-      val ordered = rows.toArray.sortBy(e => (e.event_time.getTime, e.doc_id))
-      var s = state.getOption.getOrElse(JarState(Array.empty, Long.MinValue))
-      val out = ordered.map { e =>
-        // TTL can also lapse BETWEEN events inside one batch window
-        val live =
-          if (s.lastEventMs != Long.MinValue &&
-            e.event_time.getTime - s.lastEventMs > ttlMs) JarState(Array.empty, s.lastEventMs)
-          else s
-        val hydrated = HydratedEvent(token, e.doc_id, e.event_time, live.cookies)
-        s = JarState(merge(live.cookies, e.set_cookies), e.event_time.getTime)
-        hydrated
-      }
+      val (out, s) = foldEvents(token, rows,
+        state.getOption.getOrElse(JarState(Array.empty, Long.MinValue)), ttlMs)
       state.update(s)
       state.setTimeoutTimestamp(
         math.max(s.lastEventMs + ttlMs, state.getCurrentWatermarkMs() + 1))

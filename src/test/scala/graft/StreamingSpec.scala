@@ -231,6 +231,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session jar via transformWithState: identical output to the fMGWS binding; TTL timer evicts") {
+    // transformWithState requires the RocksDB state-store provider;
+    // set it for this query only and restore the session default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[CookieEvent]
+      val out = SessionJarTws.hydrate(mem.toDS(), ttlMs = 60000L, watermarkDelay = "5 seconds")
+      val q = out.writeStream.format("memory").queryName("jar_tws")
+        .outputMode("append").start()
+      try {
+        def ev(tok: String, doc: String, sec: Long, set: String*) =
+          CookieEvent(tok, doc, ts(sec), set.toArray)
+        // the same event script as the fMGWS test — the assertion set
+        // below IS the cross-binding equivalence check
+        mem.addData(ev("u1", "r2", 10, "b=2"), ev("u1", "r1", 5, "a=1"),
+          ev("u2", "s1", 5))
+        q.processAllAvailable()
+        mem.addData(ev("u1", "r3", 20, "a=9"))
+        q.processAllAvailable()
+        mem.addData(ev("u1", "r4", 200))
+        q.processAllAvailable()
+        val rows = spark.table("jar_tws").as[HydratedEvent].collect()
+          .map(e => e.doc_id -> e.jar.toSeq.sorted).toMap
+        assert(rows("r1") == Seq(), "first request hydrates an empty jar")
+        assert(rows("r2") == Seq("a=1"), "in-batch order is event-time order")
+        assert(rows("s1") == Seq(), "tokens are isolated")
+        assert(rows("r3") == Seq("a=1", "b=2"), "jar persisted across batches")
+        assert(rows("r4") == Seq(), s"TTL must empty the jar, got ${rows("r4")}")
+      } finally q.stop()
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("dead-letter: poisoned fragments neither crash the pipeline nor vanish") {
     val base = Files.createTempDirectory("graft-dlq")
     val table = new ResultTable(base.resolve("t").toString)
