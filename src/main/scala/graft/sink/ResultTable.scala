@@ -65,18 +65,48 @@ final class ResultTable(val root: String) {
   private def listDir(dir: Path): Seq[Path] =
     scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
 
-  /** All data files referenced by committed manifests. */
-  def committedFiles(): Seq[String] = {
-    val commits = listDir(commitDir)
-      .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
-    commits.flatMap { c =>
-      Files.readString(c).linesIterator.filter(_.startsWith("file:")).map(_.drop(5))
+  /** Commit-order key: (queryId, numeric batchId) — plain name sort
+    * would put batch 10 before batch 2. */
+  private def commitKey(name: String): (String, Long) = {
+    val i = name.lastIndexOf('-')
+    (name.substring(0, i), name.substring(i + 1).toLong)
+  }
+
+  /** Committed snapshots in commit order — the table's history
+    * (Iceberg `table.snapshots()` analog). Each element is the commit
+    * key `<queryId>-<batchId>`. */
+  def snapshots(): Seq[String] =
+    listDir(commitDir)
+      .filter(_.toString.endsWith(".json"))
+      .map(_.getFileName.toString.stripSuffix(".json"))
+      .sortBy(commitKey)
+
+  /** All data files referenced by committed manifests, optionally
+    * truncated to the history prefix ending at `asOf` (inclusive). */
+  def committedFiles(asOf: Option[String] = None): Seq[String] = {
+    val names = snapshots()
+    val visible = asOf match {
+      case Some(snap) =>
+        val k = commitKey(snap)
+        names.filter(n => implicitly[Ordering[(String, Long)]].lteq(commitKey(n), k))
+      case None => names
+    }
+    visible.flatMap { n =>
+      Files.readString(commitDir.resolve(s"$n.json"))
+        .linesIterator.filter(_.startsWith("file:")).map(_.drop(5))
     }
   }
 
   /** Snapshot read: union of committed data files only. */
-  def read(spark: SparkSession): DataFrame = {
-    val files = committedFiles()
+  def read(spark: SparkSession): DataFrame = readAsOf(spark, None)
+
+  /** Time travel (Iceberg `VERSION AS OF` analog): the table as of the
+    * given snapshot from [[snapshots]] — later commits invisible. An
+    * append-only commit log makes every historical state a prefix of
+    * the history, so time travel is just manifest truncation; no data
+    * file is ever rewritten. */
+  def readAsOf(spark: SparkSession, asOf: Option[String]): DataFrame = {
+    val files = committedFiles(asOf)
     if (files.isEmpty)
       spark.emptyDataFrame
     else

@@ -190,6 +190,22 @@ class StreamingSpec extends SparkSuite {
     assert(r.filter($"_batch_id" === 1L).count() == 1)
   }
 
+  test("sink time travel: readAsOf sees a history prefix; batch 10 orders after batch 2") {
+    val dir = Files.createTempDirectory("graft-tt").toString
+    val table = new ResultTable(dir)
+    val one = Seq(("a", 1)).toDF("k", "v")
+    // 11 commits so the numeric-vs-lexicographic ordering is exercised
+    // (name-sorted, "q-10" would precede "q-2")
+    (0L to 10L).foreach(b => table.appendBatch("q")(one, b))
+    assert(table.snapshots() == (0L to 10L).map(b => s"q-$b"))
+    assert(table.readAsOf(spark, Some("q-2")).count() == 3, "prefix through batch 2")
+    assert(table.readAsOf(spark, Some("q-10")).count() == 11)
+    assert(table.read(spark).count() == 11)
+    val asOf2 = table.readAsOf(spark, Some("q-2"))
+      .select("_batch_id").distinct().as[Long].collect().toSet
+    assert(asOf2 == Set(0L, 1L, 2L), s"later commits leaked: $asOf2")
+  }
+
   test("byQueryParam pagination expands start keys into bounded page-key sequences") {
     val starts = Seq(("a", "job1"), ("b", "job2")).toDF("base", "job")
     val out = Paginate.byQueryParam(starts, keyCol = "base", param = "p", maxPages = 3)
