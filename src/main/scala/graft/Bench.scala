@@ -136,11 +136,15 @@ object Bench {
   private val gateGBs = sys.env.getOrElse("SPARK_GRAFT_MEMBW_GATE", "4.0").toDouble
   private val gateBudget = new java.util.concurrent.atomic.AtomicLong(
     sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "1200").toLong)
-  private def quietGate(tag: String): (Double, Long) = {
+  /** `maxThisGate` caps ONE gate's draw on the shared budget: the
+    * per-query gate gets a small slice (min-of-3 already reads through
+    * per-query noise) so a long degraded stretch cannot starve the
+    * pair gates, where window-matching is what the number MEANS. */
+  private def quietGate(tag: String, maxThisGate: Long = Long.MaxValue): (Double, Long) = {
     var bw = memBwProbe()
     var waited = 0L
-    while (bw < gateGBs && gateBudget.get() > 0) {
-      val step = math.min(30L, gateBudget.get())
+    while (bw < gateGBs && gateBudget.get() > 0 && waited < maxThisGate) {
+      val step = math.min(30L, math.min(gateBudget.get(), maxThisGate - waited))
       gateBudget.addAndGet(-step)
       waited += step
       Thread.sleep(step * 1000)
@@ -152,12 +156,20 @@ object Bench {
     (bw, waited)
   }
 
+  /** Tranche count from the env, clamped to a divisor of 8 so the
+    * one-tranche-per-micro-batch alignment between [[synthesize]]'s
+    * file layout and [[filesPerBatch]] always holds (a raw 0 would
+    * divide by zero; 3 or 5 would misalign batch boundaries and make
+    * watermark-dropped rows look like an engine bug). */
+  private def tranchesEnv: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_TRANCHES", "1").toInt
+    Seq(8, 4, 2, 1).find(_ <= math.min(8, math.max(1, raw))).get
+  }
+
   /** Files per micro-batch for a given layout parallelism (the 4N
     * level by default — both levels read the same layout). */
-  private def filesPerBatch(layoutCpus: Int): Int = {
-    val tranches = sys.env.getOrElse("SPARK_GRAFT_TRANCHES", "1").toInt
-    math.max(1, layoutCpus / 4) * (8 / math.min(8, tranches))
-  }
+  private def filesPerBatch(layoutCpus: Int): Int =
+    math.max(1, layoutCpus / 4) * (8 / tranchesEnv)
 
   /**
    * Synthesize the deterministic fragment corpus + flush files into
@@ -188,7 +200,7 @@ object Bench {
     // repartition would scramble event times across files, and any
     // file processed after the watermark passed its rows would
     // (correctly) drop them as late.
-    val tranches = sys.env.getOrElse("SPARK_GRAFT_TRANCHES", "1").toInt
+    val tranches = tranchesEnv
     val spanMs = nDocs * 1000L / tranches
     for (t <- 0 until tranches) {
       val lo = TokenGen.BASE_EPOCH_MS + t * spanMs
@@ -406,7 +418,7 @@ object Bench {
       // bandwidth + steal sampled around the whole query block ride in
       // the JSON as `query_env` so a degraded host window is visible
       // in the artifact instead of masquerading as a slow engine
-      val (_, qWaited) = quietGate("queries")
+      val (_, qWaited) = quietGate("queries", maxThisGate = 180L)
       val bwBefore = memBwProbe()
       val (qSteal0, qTotal0) = cpuJiffies()
       val r = picked.map { case (name, fn) =>
@@ -419,14 +431,17 @@ object Bench {
           // physical plan's rows evaluates every output column.
           try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch { case _: Throwable => -1L }
-          // per-query cache lifecycle: dedup queries cache shingle sets
-          // and details levels localCheckpoint; without this, cached
-          // blocks accumulate across the query list (clearCache covers
-          // catalog-cached plans only, not RDD-level checkpoint blocks)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // per-query cache lifecycle, OUTSIDE the timed window (it is
+          // harness bookkeeping, not query work): dedup queries cache
+          // shingle sets and details levels localCheckpoint; without
+          // this, cached blocks accumulate across the query list
+          // (clearCache covers catalog-cached plans only, not
+          // RDD-level checkpoint blocks)
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
-          (System.nanoTime() - t0) / 1e9
+          dt
         }
         name -> times.min
       }
@@ -527,9 +542,12 @@ object Bench {
               // transition happens on a minutes scale, i.e. between the
               // two levels of one pair — which is exactly what makes a
               // pair internally inconsistent
-              val g4 = quietGate(s"pair$k-4n")
+              // per-gate cap spreads the shared budget over the 4-6
+              // level gates of a default run instead of letting the
+              // first degraded gate drain it
+              val g4 = quietGate(s"pair$k-4n", maxThisGate = 420L)
               val p4 = level(baseCpus * 4)
-              val g1 = quietGate(s"pair$k-n")
+              val g1 = quietGate(s"pair$k-n", maxThisGate = 420L)
               val p1 = level(baseCpus)
               System.err.println(
                 f"[bench pair $k] rate_4n=${p4._1}%.1f rate_n=${p1._1}%.1f eff=${p4._1 / p1._1 / 4.0}%.3f")

@@ -23,13 +23,11 @@ object Verify {
       .write.mode("overwrite").parquet(s"$outDir/_tables/tokens")
     graft.queries.TokenEngine.childUniverse(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/_tables/child_tokens")
-    // crawl oracle inputs: origin keys + a SUPERSET of the reachable
-    // page universe with per-page next_key — DuckDB re-walks the
-    // chains recursively (stop/cycle/maxPages logic independent)
-    spark.range(graft.queries.TokenEngine.scaleOf(sfDir) match {
-      case s if s >= 0.1 => 20000L; case s if s >= 0.01 => 2000L; case _ => 200L
-    }).select(org.apache.spark.sql.functions.format_string(
-        "crawl/%06d", org.apache.spark.sql.functions.col("id")).as("origin"))
+    // crawl oracle inputs: origin keys (the SAME definition the crawl
+    // queries use) + a SUPERSET of the reachable page universe with
+    // per-page next_key — DuckDB re-walks the chains recursively
+    // (stop/cycle/maxPages logic independent)
+    graft.queries.TokenEngine.crawlOrigins(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/_tables/crawl_origins")
     graft.queries.TokenEngine.crawlUniverse(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/_tables/crawl_pages")

@@ -58,9 +58,14 @@ object TokenEngine {
         try java.nio.file.Files.move(tmp, dir,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.nio.file.FileAlreadyExistsException
-              | _: java.nio.file.AccessDeniedException =>
-            // another process won the race — use theirs
+          // another process won the race — use theirs. Renaming onto
+          // the winner's NON-EMPTY directory surfaces as ENOTEMPTY,
+          // which Java maps to the generic FileSystemException (only
+          // EEXIST becomes FileAlreadyExistsException), so catch the
+          // whole family — but only when the winner's table is really
+          // there; anything else is a genuine failure to propagate
+          case e: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(done) =>
             org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         }
       }
@@ -192,7 +197,10 @@ object TokenEngine {
   /** Pages per chain cap for the crawl queries — reference MAX_PAGES. */
   val CRAWL_MAX_PAGES: Int = 8
 
-  private def crawlOrigins(spark: SparkSession, dir: String): DataFrame = {
+  /** Origin keys of the crawl queries — also exported verbatim by
+    * Verify as the DuckDB oracle's origin table (single definition:
+    * a divergent copy would make the oracle walk different chains). */
+  private[graft] def crawlOrigins(spark: SparkSession, dir: String): DataFrame = {
     val n = scaleOf(dir) match {
       case s if s >= 0.1  => 20000L
       case s if s >= 0.01 => 2000L

@@ -104,7 +104,14 @@ final class ResultTable(val root: String) {
     * given snapshot from [[snapshots]] — later commits invisible. An
     * append-only commit log makes every historical state a prefix of
     * the history, so time travel is just manifest truncation; no data
-    * file is ever rewritten. */
+    * file is ever rewritten.
+    *
+    * Scope: history order is (queryId, batchId) — exact for the normal
+    * case of one streaming query owning the table. Commits do not
+    * carry a cross-writer timestamp, so for a multi-writer table the
+    * prefix cut interleaves writers in key order, not arrival order
+    * (real Iceberg orders by snapshot id from the catalog's CAS chain;
+    * swap it in for multi-writer history, SURVEY §7.0). */
   def readAsOf(spark: SparkSession, asOf: Option[String]): DataFrame = {
     val files = committedFiles(asOf)
     if (files.isEmpty)

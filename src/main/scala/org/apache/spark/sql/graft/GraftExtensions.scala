@@ -36,7 +36,14 @@ object GraftExtensions {
   private def intArg(e: Expression, fn: String, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case _ if e.foldable && e.dataType == IntegerType =>
-      e.eval().asInstanceOf[Int]
+      e.eval() match {
+        // a foldable NULL (e.g. CAST(NULL AS INT)) evals to null;
+        // null.asInstanceOf[Int] would silently unbox to 0 — i.e. a
+        // structural-token tag — instead of rejecting the argument
+        case v: java.lang.Integer => v.intValue()
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $what must be a non-null literal int, got $e")
+      }
     case _ => throw new IllegalArgumentException(
       s"$fn: $what must be a literal int, got $e")
   }
