@@ -66,6 +66,7 @@ object TokenEngine {
           // there; anything else is a genuine failure to propagate
           case e: java.nio.file.FileSystemException
               if java.nio.file.Files.exists(done) =>
+            System.err.println(s"[graft] token-table rename lost the race (${e.getClass.getSimpleName}) — using the winner's table")
             org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         }
       }
