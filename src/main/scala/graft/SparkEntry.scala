@@ -266,9 +266,9 @@ object SparkEntry {
         |GROUP BY w.origin ORDER BY w.origin""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -276,14 +276,14 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
       """SELECT n_name, COUNT(*) AS n_orders,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_broadcast_join" ->
       """SELECT p_brand, COUNT(*) AS n_items,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_semi_join" ->
@@ -298,7 +298,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(38,2)) AS o_totalprice, rnk
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_totalprice, rnk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        ROW_NUMBER() OVER (PARTITION BY o_custkey
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -306,10 +306,10 @@ object SparkEntry {
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 10
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_set_ops" ->
@@ -329,19 +329,19 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_tumbling" ->
       """SELECT CAST(FLOOR(EPOCH(ts)/3600)*3600000 AS BIGINT) AS w_start,
         |  event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sliding" ->
       """SELECT CAST(FLOOR(EPOCH(ts)/1800)*1800000 - k.k AS BIGINT) AS w_start,
         |  event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value
         |FROM events CROSS JOIN (VALUES (0), (1800000)) k(k)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_session" ->
@@ -356,7 +356,7 @@ object SparkEntry {
         |  FROM marked)
         |SELECT user_id, EPOCH_MS(MIN(ts)) AS sess_start,
         |  EPOCH_MS(MAX(ts)) + 1800000 AS sess_end, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value
         |FROM sessions GROUP BY user_id, sess_id
         |ORDER BY user_id, sess_start""".stripMargin,
     "q_distinct" ->

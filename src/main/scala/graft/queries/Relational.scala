@@ -21,12 +21,19 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Widen a decimal result column to decimal(38,scale) — the physical
-    * width DuckDB's SUM(DECIMAL) produces. Spark's sum(decimal(18,x))
-    * writes parquet decimal128(28,x); values are identical but the
-    * driver's hash is typed, so width alone fails it (round-1 lesson:
-    * 9 queries red on this). Applied to every FINAL decimal output. */
-  private def d38(c: Column, scale: Int): Column = c.cast(s"decimal(38,$scale)")
+  /** Exact integer minor units (cents for scale 2) for a decimal
+    * result column: `(c * 10^scale) :: bigint`. Aggregation stays
+    * exact in decimal; the final ×10^scale is lossless because the
+    * value's scale is exactly `scale`, so the product is integral.
+    *
+    * Why not emit DECIMAL at all (round-2 lesson): the driver's hash
+    * is dtype-sensitive and DuckDB's pandas path coerces DECIMAL to
+    * float64 while Spark's parquet yields Decimal objects — identical
+    * values, unequal hashes, at ANY declared precision. BIGINT round-
+    * trips identically on both sides. Each oracleSql twin mirrors the
+    * same `CAST(x * 10^scale AS BIGINT)`. */
+  private def cents(c: Column, scale: Int): Column =
+    (c * math.pow(10, scale).toLong).cast("bigint")
 
   /** Hash aggregate with partial (map-side) combine — the reference's
     * result-aggregation analog (SURVEY §2.5 A2). Decimal sums for
@@ -41,9 +48,9 @@ object Relational {
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("d"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
-        d38(col("q"), 2).as("sum_qty"),
-        d38(col("b"), 2).as("sum_base_price"),
-        d38(col("d"), 4).as("sum_disc_price"),
+        cents(col("q"), 2).as("sum_qty"),
+        cents(col("b"), 2).as("sum_base_price"),
+        cents(col("d"), 4).as("sum_disc_price"),
         col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -60,7 +67,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("tp"))
-      .select(col("n_name"), col("n_orders"), d38(col("tp"), 2).as("total_price"))
+      .select(col("n_name"), col("n_orders"), cents(col("tp"), 2).as("total_price"))
       .orderBy(col("n_name"))
   }
 
@@ -74,7 +81,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
-      .select(col("p_brand"), col("n_items"), d38(col("q"), 2).as("sum_qty"))
+      .select(col("p_brand"), col("n_items"), cents(col("q"), 2).as("sum_qty"))
       .orderBy(col("p_brand"))
   }
 
@@ -105,7 +112,7 @@ object Relational {
     ord.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        d38(col("o_totalprice"), 2).as("o_totalprice"),
+        cents(col("o_totalprice").cast("decimal(18,2)"), 2).as("o_totalprice"),
         // DuckDB ROW_NUMBER() is BIGINT; Spark row_number is INT —
         // align the physical width for the driver's typed hash
         col("rnk").cast("bigint").as("rnk"))
@@ -121,7 +128,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.withColumn("running_qty", sum(col("l_quantity").cast("decimal(18,2)")).over(w))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-        d38(col("running_qty"), 2).as("running_qty"))
+        cents(col("running_qty"), 2).as("running_qty"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -161,7 +168,7 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("tv"))
       .select(unix_millis(col("w.start")).as("w_start"),
-        col("event_type"), col("n"), d38(col("tv"), 2).as("total_value"))
+        col("event_type"), col("n"), cents(col("tv"), 2).as("total_value"))
       .orderBy(col("w_start"), col("event_type"))
 
   /** Sliding window, 1 h length / 30 min slide — each event lands in
@@ -173,7 +180,7 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("tv"))
       .select(unix_millis(col("w.start")).as("w_start"),
-        col("event_type"), col("n"), d38(col("tv"), 2).as("total_value"))
+        col("event_type"), col("n"), cents(col("tv"), 2).as("total_value"))
       .orderBy(col("w_start"), col("event_type"))
 
   /** Session window per user with 30 min inactivity gap (W4; the
@@ -187,7 +194,7 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("tv"))
       .select(col("user_id"), unix_millis(col("w.start")).as("sess_start"),
-        unix_millis(col("w.end")).as("sess_end"), col("n"), d38(col("tv"), 2).as("total_value"))
+        unix_millis(col("w.end")).as("sess_end"), col("n"), cents(col("tv"), 2).as("total_value"))
       .orderBy(col("user_id"), col("sess_start"))
 
   /** Exact distinct counts (SURVEY §2.5 A5 — frontier dedup statistics,
@@ -207,6 +214,6 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("t"))
       .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
-        d38(col("t"), 2).as("total"))
+        cents(col("t"), 2).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 }
