@@ -132,9 +132,20 @@ object Bench {
     * The gate never discards data — it only chooses WHEN to start
     * measuring; the final probe reading and the seconds waited ride
     * in the artifact so a run that had to proceed degraded is visible
-    * as such. Returns (lastProbeGBs, waitedSec). */
+    * as such. Returns (lastProbeGBs, waitedSec).
+    *
+    * Known gap (accepted): the probe runs in the parent, but a forked
+    * level's measured attempt starts tens of seconds later (fork +
+    * Spark startup + warmup attempt), so a cleared window can lapse
+    * before measurement. The per-ATTEMPT membw/steal recorded by the
+    * child inside the fork is the ground truth for what the attempt
+    * actually saw; the gate only biases WHEN measurement starts.
+    *
+    * Default budget 600 s (was 1200): r2 spent 1078 s of driver wall
+    * on gate sleeps + pair retries — the gate must not eat the budget
+    * that the measurements themselves need. */
   private val gateGBs = sys.env.getOrElse("SPARK_GRAFT_MEMBW_GATE", "4.0").toDouble
-  private val gateBudgetTotal = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "1200").toLong
+  private val gateBudgetTotal = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "600").toLong
   private val gateBudget = new java.util.concurrent.atomic.AtomicLong(gateBudgetTotal)
   /** Per-gate slices scale with the budget so raising
     * SPARK_GRAFT_QUIET_WAIT actually buys longer waits (fixed caps
@@ -329,28 +340,63 @@ object Bench {
     }
   }
 
-  /** Re-invoke this main in a fresh JVM pinned to one parallelism
-    * level; parse its BENCHRATE line. `extraEnv` carries the shared
-    * input dir, expected count and files-per-batch from the parent. */
-  private def forkLevel(cpus: Int, extraEnv: Map[String, String]): (Double, Long, Boolean, String, Long) = {
+  /** Re-invoke this main in a fresh JVM with `env` set; returns its
+    * stdout. The parent may run under a driver-sized heap (r2
+    * post-mortem: an inherited ~90 GiB -Xmx in BOTH live JVMs + the
+    * tmpfs corpus OOM-killed the round's artifact on a 128 GiB box) —
+    * strip any inherited heap flags and pin every fork to a modest
+    * explicit heap; a level run needs working memory for local[16]
+    * shuffles + an in-memory state store, which 24g covers at the
+    * default corpus (synthesis spills its cache past the cap to
+    * MEMORY_AND_DISK, so it is bounded too). */
+  private def forkSelf(env: Map[String, String]): String = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments
+      .getRuntimeMXBean.getInputArguments.stream()
+      .filter(a => !a.startsWith("-Xmx") && !a.startsWith("-Xms")
+        && !a.startsWith("-XX:MaxRAMPercentage") && !a.startsWith("-XX:InitialRAMPercentage"))
+      .collect(java.util.stream.Collectors.toList[String])
     val cmd = new java.util.ArrayList[String]()
     cmd.add(javaBin)
     cmd.addAll(jvmArgs)
+    cmd.add("-Xmx" + sys.env.getOrElse("SPARK_GRAFT_FORK_HEAP", "24g"))
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.Bench")
     val pb = new ProcessBuilder(cmd)
-    pb.environment().put("SPARK_GRAFT_ONLY", cpus.toString)
-    pb.environment().put("SPARK_GRAFT_SKIP_QUERIES", "1")
-    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     p.waitFor()
+    out
+  }
+
+  /** Synthesize the shared corpus in a forked capped-heap JVM (the
+    * r2 OOM's other half: synthesis in the big-heap parent left a
+    * corpus-sized RSS alive for the whole stream phase); parse the
+    * expected-rows count from its BENCHSYNTH line. */
+  private def forkSynth(inDir: String, docs: Long, layoutCpus: Int, synthCpus: Int): Long = {
+    val out = forkSelf(Map(
+      "SPARK_GRAFT_SYNTH_DIR" -> inDir,
+      "SPARK_GRAFT_STREAM_DOCS" -> docs.toString,
+      "SPARK_GRAFT_SYNTH_LAYOUT" -> layoutCpus.toString,
+      "SPARK_GRAFT_SYNTH_CPUS" -> synthCpus.toString))
+    out.linesIterator.find(_.startsWith("BENCHSYNTH ")) match {
+      case Some(line) => line.drop("BENCHSYNTH ".length).trim.toLong
+      case None => throw new IllegalStateException(
+        s"synth fork produced no BENCHSYNTH line:\n$out")
+    }
+  }
+
+  /** Re-invoke this main in a fresh JVM pinned to one parallelism
+    * level; parse its BENCHRATE line. `extraEnv` carries the shared
+    * input dir, expected count and files-per-batch from the parent. */
+  private def forkLevel(cpus: Int, extraEnv: Map[String, String]): (Double, Long, Boolean, String, Long) = {
+    val out = forkSelf(extraEnv ++ Map(
+      "SPARK_GRAFT_ONLY" -> cpus.toString,
+      "SPARK_GRAFT_SKIP_QUERIES" -> "1"))
     out.linesIterator.find(_.startsWith("BENCHRATE ")) match {
       case Some(line) =>
         val json = line.drop("BENCHRATE ".length)
@@ -382,18 +428,36 @@ object Bench {
     // (query planning + per-partition RocksDB opens, ~3-5 s): the
     // scaling-efficiency number is only meaningful when the measured
     // interval is mostly compute
-    // sized so compute dominates the single-JVM fixed floor (~8-10 s):
-    // at 6.4M docs the measured 8→32-thread scaling efficiency reaches
-    // 0.80 (see BASELINE.md); smaller corpora under-report scaling
-    // 12.8M docs (37.6M extracted rows): large enough that the per-run
-    // fixed floor amortizes at BOTH default levels (efficiency rose
-    // 0.61 -> 0.73 from 6.4M to 12.8M for the same engine)
+    // sized so compute dominates the single-JVM fixed floor (~8-10 s)
+    // AND the whole run fits the driver's memory budget: round 2's
+    // 12.8M-doc default + a ~90 GiB inherited heap in BOTH live JVMs
+    // OOM-killed the artifact on a 128 GiB box. Both contributing
+    // causes are fixed structurally this round (synthesis + levels all
+    // run in forked JVMs with an explicit 24g cap, and the per-query
+    // line prints before the stream phase), so the corpus default is
+    // chosen for wall-budget, not survival: 6.4M docs ≈ 18.8M
+    // extracted rows, enough to amortize the fixed floor at the
+    // default 4→16 pairing (BASELINE.md round-3 series); the 0.884
+    // record configuration (12.8M) stays reachable via
+    // SPARK_GRAFT_STREAM_DOCS
     val streamDocs = sys.env.get("SPARK_GRAFT_STREAM_DOCS").map(_.toLong)
       .getOrElse(TokenEngine.scaleOf(sfDir) match {
-        case s if s >= 0.1  => 12800000L
+        case s if s >= 0.1  => 6400000L
         case s if s >= 0.01 => 200000L
         case _              => 20000L
       })
+
+    // 0. synthesis-fork mode: generate the shared corpus and exit
+    // (invoked by forkSynth so the corpus-sized RSS dies with this JVM)
+    sys.env.get("SPARK_GRAFT_SYNTH_DIR").foreach { dir =>
+      val spark = session(sys.env.getOrElse("SPARK_GRAFT_SYNTH_CPUS", cpus.toString).toInt)
+      val expected =
+        try synthesize(spark, streamDocs, dir,
+          layoutCpus = sys.env("SPARK_GRAFT_SYNTH_LAYOUT").toInt)
+        finally spark.stop()
+      println(s"BENCHSYNTH $expected")
+      return
+    }
 
     // 1. per-query batch timings (driver contract)
     val (results, queryEnv) = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES"))
@@ -467,6 +531,10 @@ object Bench {
         f""""membw_gbs_after":$bwAfter%.1f,"steal_pct":$qStealPct%.2f,"gate_waited_sec":$qWaited}""")
     }
 
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+
     // 2. streaming throughput at N and 4N threads, same input.
     // Each level runs in its OWN forked JVM (this main re-invoked
     // with SPARK_GRAFT_ONLY): a second SparkSession in a used JVM
@@ -474,13 +542,17 @@ object Bench {
     // measures garbage — and separate JVMs is what "run via
     // spark-submit at N and 4N executors" means anyway.
     if (sys.env.contains("SPARK_GRAFT_SKIP_STREAM")) {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).sum
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir"}""")
       return
     }
-    val (rateN, rowsN, okN, attN, rate4N, rows4N, ok4N, att4N, pairsJson, eff, bestCpusN) =
+    // Flush the per-query artifact BEFORE the stream phase: if a
+    // later phase dies (r2: the OOM killer took the whole run and
+    // left rc:1/parsed:null), the round still has a parseable line
+    // with every per-query number. A healthy run prints the full
+    // line (queries + stream) afterwards, superseding this one.
+    if (results.nonEmpty)
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir","partial":true}""")
+    val (rateN, rowsN, okN, attN, rate4N, rows4N, ok4N, att4N, pairsJson, eff, bestCpusN, credibleRun) =
       sys.env.get("SPARK_GRAFT_ONLY") match {
         case Some(c) =>
           val (r, n, ok, att, exp) = streamRun(c.toInt, streamDocs)
@@ -490,15 +562,14 @@ object Bench {
           println(s"""BENCHRATE {"rate":$r,"rows":$n,"ok":$ok,"expected":$exp,"attempts":$attJson}""")
           return
         case None =>
-          // parent synthesizes the shared input ONCE at full
-          // parallelism; both forked levels read the same files (the
-          // per-child re-synthesis used to dominate the bench wall,
-          // 4× worse at the N level)
+          // the shared input is synthesized ONCE, in its own forked
+          // capped-heap JVM; both forked levels read the same files
+          // (per-child re-synthesis used to dominate the bench wall,
+          // and parent-side synthesis left a corpus-sized RSS alive
+          // for the whole stream phase — half of the r2 OOM)
           val inDir = Files.createTempDirectory(ioRoot, "in-").toString
-          val synthSpark = session(cpus)
           val expected =
-            try synthesize(synthSpark, streamDocs, inDir, layoutCpus = baseCpus * 4)
-            finally synthSpark.stop()
+            forkSynth(inDir, streamDocs, layoutCpus = baseCpus * 4, synthCpus = cpus)
           val sharedEnv = Map(
             "SPARK_GRAFT_INDIR" -> inDir,
             "SPARK_GRAFT_EXPECTED" -> expected.toString,
@@ -586,14 +657,16 @@ object Bench {
                 !sys.env.contains("SPARK_GRAFT_NO_HALVED_FALLBACK")) {
               pairs += measurePair("pair-halved", baseCpus / 2)
             }
-            // select among credible pairs when any exist; only if every
-            // pair came out superlinear (all-degraded run) fall back to
-            // all pairs — the cap below keeps the report conservative
-            val pool = {
-              val c = pairs.filter(r => credible(r.eff))
-              if (c.nonEmpty) c else pairs
-            }
-            val best = pool.maxBy(_.eff)
+            // select among credible pairs; if EVERY pair came out
+            // superlinear (all-degraded run), the measurements say
+            // nothing about the engine — report efficiency 0.0 with
+            // credible:false rather than manufacturing a capped-1.0
+            // headline from self-declared meaningless ratios (r2
+            // advice). The best pair's rates still ride along as the
+            // run's throughput evidence.
+            val credPairs = pairs.filter(r => credible(r.eff))
+            val isCred = credPairs.nonEmpty
+            val best = (if (isCred) credPairs else pairs).maxBy(_.eff)
             val (r1, n1, ok1, _, _) = best.p1
             val (r4, n4, ok4, _, _) = best.p4
             val allA1 = pairs.map(_.p1._4.stripPrefix("[").stripSuffix("]"))
@@ -612,18 +685,20 @@ object Bench {
             // Report the conservative min(ratio, 1.0); the raw per-pair
             // ratios stay in `pairs` as evidence.
             (r1, n1, ok1, allA1, r4, n4, ok4, allA4, pj,
-              math.min(best.eff, 1.0), best.cpusN)
+              if (isCred) math.min(best.eff, 1.0) else 0.0, best.cpusN, isCred)
           } finally rmTree(java.nio.file.Paths.get(inDir))
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // per-attempt rates + /proc/stat steal% ride along so the judge
-    // can read the interference evidence directly from the artifact
+    // can read the interference evidence directly from the artifact;
+    // `pairing` flags the halved-core fallback configuration and
+    // `credible` says whether any pair's ratio was non-superlinear
+    // (r2 advice: both were previously only derivable from `pairs`)
+    val pairing = if (bestCpusN != baseCpus) "halved" else "standard"
     val stream =
       f"""{"docs":$streamDocs,"rows":$rowsN,"cpus_n":$bestCpusN,"cpus_4n":${bestCpusN * 4},""" +
       f""""rate_n":$rateN%.1f,"rate_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,""" +
+      s""""credible":$credibleRun,"pairing":"$pairing",""" +
       s""""verified":${okN && ok4N && rowsN == rows4N},"pairs":$pairsJson,""" +
       s""""attempts_n":$attN,"attempts_4n":$att4N}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir","stream":$stream}""")
