@@ -71,33 +71,55 @@ object Multimodal {
   }
 
   /**
-   * STUB decode: a real implementation would dispatch on `kind` to an
-   * image codec / audio resampler / video frame sampler here. The
-   * deterministic stand-in hashes payload windows into a fixed-length
-   * float vector, so downstream stages (ANN, dedup, joins) exercise
-   * realistic shapes and the whole pipeline stays reproducible.
+   * Pluggable decode boundary: the sandbox ships no codec libraries,
+   * so the default implementation is the deterministic stub — a real
+   * deployment drops in a JNI/codec-backed instance with the same
+   * signature and the pipeline shape is unchanged (the claim "same
+   * shape a real codec needs" is structural, not prose). Ships to
+   * executors once; [[init]] runs once per PARTITION before the row
+   * loop, where an implementation acquires its expensive native state
+   * (codec handle, inference session).
    */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec call goes here (not available in this sandbox)
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      val d = i % dim
-      out(d) += (payload(i) & 0xff) / 255.0f - 0.5f
-      i += 1
-    }
-    out
+  trait MediaDecoder extends Serializable {
+    def init(): Unit = ()
+    def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** Feature extraction in per-partition batches: one "decoder" per
-    * partition (the expensive init a real codec/model would pay),
+  /** STUB decode: a real implementation would dispatch on `kind` to an
+    * image codec / audio resampler / video frame sampler. The
+    * deterministic stand-in folds payload bytes into a fixed-length
+    * float vector, so downstream stages (ANN, dedup, joins) exercise
+    * realistic shapes and the whole pipeline stays reproducible. */
+  object StubDecoder extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
+      // a real codec call goes here (codecs unavailable in this sandbox)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        val d = i % dim
+        out(d) += (payload(i) & 0xff) / 255.0f - 0.5f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Kept for existing call sites/oracles: stub decode of one payload. */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] =
+    StubDecoder.decode("", payload, dim)
+
+  /** Feature extraction in per-partition batches: one decoder init per
+    * partition (the expensive setup a real codec/model would pay),
     * then a tight loop over rows. */
-  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: Dataset[MediaRecord], dim: Int = 64,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
-      // per-partition init happens HERE (codec handle, model session)
+      decoder.init() // per-partition init (codec handle, model session)
       rows.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.payload.length, decodeStub(m.payload, dim))
+        MediaFeatures(m.media_id, m.kind, m.payload.length,
+          decoder.decode(m.kind, m.payload, dim))
       }
     }
   }

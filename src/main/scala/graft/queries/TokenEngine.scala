@@ -68,6 +68,12 @@ object TokenEngine {
               if java.nio.file.Files.exists(done) =>
             System.err.println(s"[graft] token-table rename lost the race (${e.getClass.getSimpleName}) — using the winner's table")
             org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+          case e: Throwable =>
+            // genuine failure: still reclaim the RAM-backed tmp table
+            // (/dev/shm) before propagating, or a 256MB+ directory
+            // leaks in memory per failed attempt
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+            throw e
         }
       }
       dir.toString

@@ -62,18 +62,65 @@ object RecordEncoder extends Serializable {
     case _ => jsonValue(v, dt)
   }
 
+  private def jsonObject(
+      row: Row, fields: Array[(StructField, Int)], collapse: Boolean): String =
+    fields.flatMap { case (f, i) =>
+      val v = row.get(i)
+      if (v == null) None // nil-omission
+      else Some("\"" + esc(f.name) + "\":" +
+        (if (collapse) jsonValue(v, f.dataType) else jsonValueNoCollapse(v, f.dataType)))
+    }.mkString("{", ",", "}")
+
   /** One JSON object per row; null fields omitted; single-element
     * arrays collapsed to scalars. */
   def toJsonRecords(df: DataFrame, collapse: Boolean = true): Dataset[String] = {
-    val schema = df.schema
+    val fields = df.schema.fields.zipWithIndex
     implicit val enc = org.apache.spark.sql.Encoders.STRING
-    df.map { row =>
-      schema.fields.zipWithIndex.flatMap { case (f, i) =>
-        val v = row.get(i)
-        if (v == null) None // nil-omission
-        else Some("\"" + esc(f.name) + "\":" +
-          (if (collapse) jsonValue(v, f.dataType) else jsonValueNoCollapse(v, f.dataType)))
-      }.mkString("{", ",", "}")
+    df.map(row => jsonObject(row, fields, collapse))
+  }
+
+  /** Group consecutive rows of one page after a hash exchange on the
+    * page key + a per-partition sort — the distributed recast of the
+    * reference's page-major storage walk (scrape/encoders.go:140-166
+    * payloadMap keyed by page, read page-then-block). Per-task memory
+    * is bounded by ONE page's blocks, so the shape survives any
+    * page count. */
+  private def groupedPages(df: DataFrame, pageCol: String, orderCol: String)(
+      render: Seq[Row] => String): Dataset[String] = {
+    import org.apache.spark.sql.functions.col
+    val sorted = df.repartition(col(pageCol))
+      .sortWithinPartitions(col(pageCol), col(orderCol))
+    val pi = sorted.schema.fieldIndex(pageCol)
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[String] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): String = {
+          val key = buf.head.get(pi)
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (buf.hasNext && buf.head.get(pi) == key) rows += buf.next()
+          render(rows.toSeq)
+        }
+      }
+    }
+  }
+
+  /** PaginateResults grouped JSON (reference scrape/structure.go:84-91:
+    * grouped output "applicable for JSON and XML output formats; a
+    * combined list ... is always returned for CSV" — so there is
+    * deliberately no grouped CSV here). One string per PAGE: that
+    * page's block records as a JSON array, blocks in `orderCol` order.
+    * The page/order columns are grouping keys only and are not emitted
+    * — the reference's grouping is positional (`[`…`],[`…`]` page
+    * delimiters, encoders.go:80-118). */
+  def toJsonPages(
+      df: DataFrame, pageCol: String, orderCol: String,
+      collapse: Boolean = true): Dataset[String] = {
+    val fields = df.schema.fields.zipWithIndex
+      .filter { case (f, _) => f.name != pageCol && f.name != orderCol }
+    groupedPages(df, pageCol, orderCol) { rows =>
+      rows.map(jsonObject(_, fields, collapse)).mkString("[", ",", "]")
     }
   }
 
@@ -112,19 +159,33 @@ object RecordEncoder extends Serializable {
     * as repeated elements. Elements emitted in SCHEMA order — the
     * reference's XML output is nondeterministic (Go map iteration,
     * acknowledged at scrape_test.go:372-373); ours is stable. */
+  private def xmlElem(name: String, v: Any, dt: DataType): String = (v, dt) match {
+    case (null, _) => "" // nil-omission
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      seq.map(xmlElem(name, _, et)).mkString
+    case (other, _) => s"<$name>${escXml(String.valueOf(other))}</$name>"
+  }
+
+  private def xmlItem(row: Row, fields: Array[(StructField, Int)]): String =
+    fields.map { case (f, i) =>
+      xmlElem(escXml(f.name), row.get(i), f.dataType)
+    }.mkString("<item>", "", "</item>")
+
   def toXmlRecords(df: DataFrame): Dataset[String] = {
-    val schema = df.schema
+    val fields = df.schema.fields.zipWithIndex
     implicit val enc = org.apache.spark.sql.Encoders.STRING
-    def elem(name: String, v: Any, dt: DataType): String = (v, dt) match {
-      case (null, _) => "" // nil-omission
-      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
-        seq.map(elem(name, _, et)).mkString
-      case (other, _) => s"<$name>${escXml(String.valueOf(other))}</$name>"
-    }
-    df.map { row =>
-      schema.fields.zipWithIndex.map { case (f, i) =>
-        elem(escXml(f.name), row.get(i), f.dataType)
-      }.mkString("<item>", "", "</item>")
+    df.map(row => xmlItem(row, fields))
+  }
+
+  /** PaginateResults grouped XML: one `<page>` element per page
+    * wrapping that page's `<item>`s in block order (same grouping
+    * contract as [[toJsonPages]]; the reference's own XML grouping is
+    * the JSON shape's sibling, structure.go:84-91). */
+  def toXmlPages(df: DataFrame, pageCol: String, orderCol: String): Dataset[String] = {
+    val fields = df.schema.fields.zipWithIndex
+      .filter { case (f, _) => f.name != pageCol && f.name != orderCol }
+    groupedPages(df, pageCol, orderCol) { rows =>
+      rows.map(xmlItem(_, fields)).mkString("<page>", "", "</page>")
     }
   }
 }

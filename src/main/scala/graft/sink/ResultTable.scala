@@ -50,8 +50,14 @@ final class ResultTable(val root: String) {
 
   private val dataDir = Paths.get(root, "data")
   private val commitDir = Paths.get(root, "_commits")
+  /** Commit-time hardlink view for streaming readers: a data file is
+    * linked here only AFTER its commit file lands, so a file stream
+    * over `pub/` observes exactly the committed snapshots (the
+    * commit-log-driven read `iceberg-spark-runtime` does natively). */
+  private val pubDir = Paths.get(root, "pub")
   Files.createDirectories(dataDir)
   Files.createDirectories(commitDir)
+  Files.createDirectories(pubDir)
 
   private def commitPath(queryId: String, batchId: Long): Path =
     commitDir.resolve(s"$queryId-$batchId.json")
@@ -66,20 +72,28 @@ final class ResultTable(val root: String) {
     scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
 
   /** Commit-order key: (queryId, numeric batchId) — plain name sort
-    * would put batch 10 before batch 2. */
-  private def commitKey(name: String): (String, Long) = {
+    * would put batch 10 before batch 2. None for a name without a
+    * trailing `-<number>`: one foreign or corrupt file in `_commits/`
+    * must not break every read of the table. */
+  private def commitKey(name: String): Option[(String, Long)] = {
     val i = name.lastIndexOf('-')
-    (name.substring(0, i), name.substring(i + 1).toLong)
+    if (i <= 0 || i == name.length - 1) None
+    else name.substring(i + 1).toLongOption.map((name.substring(0, i), _))
   }
 
   /** Committed snapshots in commit order — the table's history
     * (Iceberg `table.snapshots()` analog). Each element is the commit
-    * key `<queryId>-<batchId>`. */
-  def snapshots(): Seq[String] =
-    listDir(commitDir)
+    * key `<queryId>-<batchId>`. Unparseable commit names are skipped
+    * with a warning, not fatal. */
+  def snapshots(): Seq[String] = {
+    val names = listDir(commitDir)
       .filter(_.toString.endsWith(".json"))
       .map(_.getFileName.toString.stripSuffix(".json"))
-      .sortBy(commitKey)
+    val (ok, bad) = names.partition(n => commitKey(n).isDefined)
+    bad.foreach(n => System.err.println(
+      s"[ResultTable] skipping unparseable commit name: $n.json"))
+    ok.sortBy(n => commitKey(n).get)
+  }
 
   /** All data files referenced by committed manifests, optionally
     * truncated to the history prefix ending at `asOf` (inclusive). */
@@ -87,15 +101,22 @@ final class ResultTable(val root: String) {
     val names = snapshots()
     val visible = asOf match {
       case Some(snap) =>
-        val k = commitKey(snap)
-        names.filter(n => implicitly[Ordering[(String, Long)]].lteq(commitKey(n), k))
+        // Iceberg's VERSION AS OF errors on an unknown snapshot; a
+        // silent prefix for a typo'd name would be a wrong answer
+        if (!names.contains(snap))
+          throw new IllegalArgumentException(
+            s"unknown snapshot '$snap'; history: ${names.mkString(", ")}")
+        val k = commitKey(snap).get
+        names.filter(n => implicitly[Ordering[(String, Long)]].lteq(commitKey(n).get, k))
       case None => names
     }
-    visible.flatMap { n =>
-      Files.readString(commitDir.resolve(s"$n.json"))
-        .linesIterator.filter(_.startsWith("file:")).map(_.drop(5))
-    }
+    visible.flatMap(manifestFiles)
   }
+
+  /** Data files recorded in one commit's manifest. */
+  private def manifestFiles(name: String): Seq[String] =
+    Files.readString(commitDir.resolve(s"$name.json"))
+      .linesIterator.filter(_.startsWith("file:")).map(_.drop(5)).toSeq
 
   /** Snapshot read: union of committed data files only. */
   def read(spark: SparkSession): DataFrame = readAsOf(spark, None)
@@ -126,18 +147,30 @@ final class ResultTable(val root: String) {
    * into further stateful operators, each stage independently
    * checkpointed and resumable).
    *
-   * Honest scope note: this is a plain file stream over the data
-   * directory, correct when the upstream query is quiescent or
-   * strictly ahead (sequential stages, the common batch-of-streams
-   * deployment). A reader concurrent with an upstream CRASH could
-   * observe a batch's orphaned first write and its replayed rewrite
-   * as distinct files — deduping that requires a snapshot-aware
-   * source reading the commit log (what `iceberg-spark-runtime`'s
-   * streaming read does; this class is its stand-in, SURVEY §7.0).
+   * Snapshot-aware: the file stream reads the `pub/` hardlink view,
+   * which [[appendBatch]] populates only AFTER a batch's commit file
+   * lands. A batch orphaned by an upstream crash (data files written,
+   * no commit) is invisible here, and its replayed rewrite appears
+   * exactly once — the commit-log-driven semantics of
+   * `iceberg-spark-runtime`'s streaming read, which this class
+   * stands in for (SURVEY §7.0).
    */
   def readStream(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(s"$root/data/*")
+    spark.readStream.schema(schema).parquet(pubDir.toString)
+
+  /** Idempotent commit-time publication: hardlink a committed batch's
+    * data files into `pub/` for streaming readers. Crash windows are
+    * repaired on replay: died before the commit file → no links exist
+    * and the rewrite republishes; died mid-publication → the
+    * `isCommitted` fast path re-runs publish from the manifest. */
+  private def publish(queryId: String, batchId: Long): Unit =
+    manifestFiles(s"$queryId-$batchId").zipWithIndex.foreach { case (f, i) =>
+      val link = pubDir.resolve(s"$queryId-$batchId-$i.parquet")
+      if (!Files.exists(link))
+        try Files.createLink(link, Paths.get(f))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
 
   /**
    * The foreachBatch writer. Commit-epoch dedup: a batchId already in
@@ -147,7 +180,10 @@ final class ResultTable(val root: String) {
    * readers never observe a partial batch.
    */
   def appendBatch(queryId: String)(df: DataFrame, batchId: Long): Unit = {
-    if (isCommitted(queryId, batchId)) return // idempotent replay skip
+    if (isCommitted(queryId, batchId)) {
+      publish(queryId, batchId) // repair a crash between commit and publication
+      return                    // idempotent replay skip
+    }
     val target = dataDir.resolve(s"$queryId-$batchId")
     df
       .withColumn("_batch_id", lit(batchId))
@@ -166,5 +202,6 @@ final class ResultTable(val root: String) {
       // concurrent/replayed committer won the race — fine, identical content
       case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
     }
+    publish(queryId, batchId)
   }
 }

@@ -89,6 +89,32 @@ class ExtractSpec extends SparkSuite {
       "<B_text>8C 8D</B_text></item>", s"xml: $xml") // repeated elems, nil omitted
   }
 
+  test("PaginateResults grouped encoding: blocks nested per page, CSV stays flat") {
+    // reference structure.go:84-91: paginateResults groups blocks per
+    // page for JSON/XML only; rows arrive page-interleaved and out of
+    // block order to pin the exchange+sort grouping
+    val rows = Seq(
+      ("p2", 0, "b", null), ("p1", 1, "y", "v1"), ("p2", 1, null, "v2"),
+      ("p1", 0, "x", null))
+      .toDF("page", "block_idx", "A_text", "B_text")
+    val json = graft.sink.RecordEncoder
+      .toJsonPages(rows, "page", "block_idx").collect().sorted
+    assert(json.toSeq == Seq(
+      """[{"A_text":"x"},{"A_text":"y","B_text":"v1"}]""",
+      """[{"A_text":"b"},{"B_text":"v2"}]""").sorted, json.mkString("\n"))
+    val xml = graft.sink.RecordEncoder
+      .toXmlPages(rows, "page", "block_idx").collect().sorted
+    assert(xml.toSeq == Seq(
+      "<page><item><A_text>x</A_text></item>" +
+        "<item><A_text>y</A_text><B_text>v1</B_text></item></page>",
+      "<page><item><A_text>b</A_text></item>" +
+        "<item><B_text>v2</B_text></item></page>").sorted, xml.mkString("\n"))
+    // CSV contract: always the flat combined list (structure.go:90)
+    val csv = graft.sink.RecordEncoder.toCsvLines(rows.select("A_text", "B_text"))
+      .collect().toSet
+    assert(csv == Set("x,", "y,v1", "b,", ",v2"), csv.toString)
+  }
+
   test("spec validation reproduces reference error cases") {
     val docs = Seq(("d1", Array(2, 3, 100, 1), 4, "s1")).toDF("doc_id", "tokens", "n_tok", "source")
     intercept[SpecException] {

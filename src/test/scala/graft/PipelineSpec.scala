@@ -247,6 +247,27 @@ class PipelineSpec extends SparkSuite {
     assert(stats.map(_.getLong(1)).sum == 50)
   }
 
+  test("multimodal: pluggable decoder swaps in (kind-dispatched, per-partition init)") {
+    // the structural claim behind the stub: a real codec-backed
+    // MediaDecoder drops in with zero pipeline changes
+    object KindDecoder extends Multimodal.MediaDecoder {
+      override def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
+        val out = new Array[Float](dim)
+        out(0) = kind match { case "image" => 1f; case "audio" => 2f; case _ => 3f }
+        out(1) = payload.length.toFloat
+        out
+      }
+    }
+    val media = Multimodal.synthesize(spark, 20)
+    val feats = Multimodal.extractFeatures(media, dim = 8, decoder = KindDecoder).collect()
+    assert(feats.length == 20 && feats.forall(_.embedding.length == 8))
+    feats.foreach { f =>
+      val want = f.kind match { case "image" => 1f; case "audio" => 2f; case _ => 3f }
+      assert(f.embedding(0) == want && f.embedding(1) == f.n_bytes.toFloat,
+        s"${f.media_id}: decoder not dispatched on kind/payload")
+    }
+  }
+
   test("tag-histogram UDAF: typed Aggregator matches manual counts; SQL-registered form agrees") {
     val docs = Seq(
       ("d1", "s1", Array(2, 3, 100, 1, 4, 200, 1)),   // tags 3, 4

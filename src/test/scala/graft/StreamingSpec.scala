@@ -204,6 +204,40 @@ class StreamingSpec extends SparkSuite {
     val asOf2 = table.readAsOf(spark, Some("q-2"))
       .select("_batch_id").distinct().as[Long].collect().toSet
     assert(asOf2 == Set(0L, 1L, 2L), s"later commits leaked: $asOf2")
+    // VERSION AS OF semantics: unknown snapshot errors, no silent prefix
+    intercept[IllegalArgumentException] {
+      table.readAsOf(spark, Some("q-999")).count()
+    }
+  }
+
+  test("snapshot-aware streaming read: orphaned uncommitted batch invisible; foreign commit name skipped") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val table = new ResultTable(dir)
+    val committed = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    table.appendBatch("q")(committed, 0L)
+    // simulate an upstream crash between data write and commit: data
+    // files land under data/ with NO commit file
+    Seq(("orphan", 99)).toDF("k", "v")
+      .withColumn("_batch_id", lit(9L)).withColumn("_part_id", lit(0))
+      .write.parquet(s"$dir/data/q-9")
+    // a foreign file in the commit log must not break reads (and must
+    // not surface the orphan)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_commits/README.json"), "junk")
+    assert(table.snapshots() == Seq("q-0"))
+    assert(table.read(spark).count() == 2)
+    val schema = table.read(spark).schema
+    val q = table.readStream(spark, schema)
+      .writeStream.format("memory").queryName("snap_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val seen = spark.table("snap_t").select("k").as[String].collect().toSet
+      assert(seen == Set("a", "b"), s"streaming reader saw: $seen")
+      // the replayed rewrite of the orphan commits normally and appears once
+      table.appendBatch("q")(Seq(("c", 3)).toDF("k", "v"), 9L)
+      q.processAllAvailable()
+      val after = spark.table("snap_t").select("k").as[String].collect().toList.sorted
+      assert(after == List("a", "b", "c"), s"after replay: $after")
+    } finally q.stop()
   }
 
   test("byQueryParam pagination expands start keys into bounded page-key sequences") {
@@ -432,5 +466,46 @@ class StreamingSpec extends SparkSuite {
     val lone = Seq(frag("nosentinel", 0, Array(3, 100, 1), 500)).toDS()
     assert(StreamJob.expectedRows(lone, spec) ===
       StreamJob.batchOracle(spark, lone, spec).count())
+  }
+
+  test("robots gate: 4xx full-allow, 5xx full-disallow, longest-prefix rules, no-entry allow") {
+    import graft.streaming.RobotsGate
+    // reference fetch/robotstxt.go:46-62 (Google status semantics) and
+    // :65-70 (nil robots data → allow)
+    val rules = RobotsGate.rulesTable(spark, Seq(
+      RobotsGate.RobotsRules("parsed", 200,
+        allows = Seq("/pub/ok"), disallows = Seq("/pub", "/admin")),
+      RobotsGate.RobotsRules("gone", 404, allows = Nil, disallows = Seq("/")),
+      RobotsGate.RobotsRules("down", 503, allows = Seq("/"), disallows = Nil)))
+    val frontier = Seq(
+      ("parsed", "/pub/ok/x"),   // allow beats shorter disallow (longest match)
+      ("parsed", "/pub/other"),  // disallowed by /pub
+      ("parsed", "/index"),      // no rule matches -> allow
+      ("parsed", "/admin/cfg"),  // disallowed
+      ("gone", "/anything"),     // 4xx -> full allow despite disallow-all rules
+      ("down", "/anything"),     // 5xx -> full disallow despite allow-all rules
+      ("norules", "/x"))         // source absent from table -> allow
+      .toDF("source", "doc_id")
+    val kept = RobotsGate.gate(frontier, rules)
+      .select("source", "doc_id").as[(String, String)].collect().toSet
+    assert(kept === Set(
+      ("parsed", "/pub/ok/x"), ("parsed", "/index"),
+      ("gone", "/anything"), ("norules", "/x")), kept.toString)
+
+    // the same gate applied to a fragment STREAM (stateless broadcast
+    // join — no state store, no watermark interaction)
+    val mem = MemoryStream[Fragment]
+    val gated = RobotsGate.gate(mem.toDS().toDF(), rules)
+    val q = gated.writeStream.format("memory").queryName("robots_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        frag("/pub/ok/stream", 0, d1p0, 1, src = "parsed"),
+        frag("/pub/blocked", 0, d1p0, 2, src = "parsed"),
+        frag("/x", 0, d1p0, 3, src = "down"))
+      q.processAllAvailable()
+      val got = spark.table("robots_t").select("doc_id").as[String].collect().toSet
+      assert(got === Set("/pub/ok/stream"), got.toString)
+    } finally q.stop()
   }
 }
