@@ -33,8 +33,10 @@ object SparkEntry {
     "q_sliding" -> (Relational.qSliding _),
     "q_session" -> (Relational.qSessionWindow _),
     "q_distinct" -> (Relational.qDistinct _),
+    "q_approx_distinct" -> (Relational.qApproxDistinct _),
     // token-domain engine (north_star pipeline, batch form) — Scala-oracle-checked
     "extract_flat" -> (TokenEngine.extractFlatDriver _),
+    "extract_grouped" -> (TokenEngine.extractGrouped _),
     "source_stats" -> (TokenEngine.sourceStats _),
     "tag_histogram" -> (TokenEngine.tagHistogram _),
     "token_pattern" -> (TokenEngine.tokenPattern _),
@@ -86,6 +88,32 @@ object SparkEntry {
       |    list_transform(range(1, len(dp)+1),
       |      j -> bt[CASE WHEN j = 1 THEN 1 ELSE dp[j-1]+1 END : dp[j]-1]) AS fields
       |  FROM fb)""".stripMargin
+
+  /** The extract_flat oracle's body (no final ORDER BY): an
+    * independent SQL re-implementation of the extraction kernels over
+    * the exported token table. Shared by `extract_flat` (flat, block
+    * order) and `extract_grouped` (per-page digest). */
+  private val extractFlatSql: String = tokenCte +
+    """,
+      |m AS (SELECT doc_id, source, block_idx,
+      |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 3), f -> f[2:]) AS p3,
+      |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 4), f -> f[2:]) AS p4
+      |  FROM fs),
+      |dec AS (SELECT doc_id, source, block_idx, p3, p4,
+      |    list_transform(p3, p -> coalesce(array_to_string(list_transform(p, tk -> to_base(tk, 36)), ' '), '')) AS t3,
+      |    list_transform(p4, p -> coalesce(array_to_string(list_transform(p, tk -> to_base(tk, 36)), ' '), '')) AS t4
+      |  FROM m)
+      |SELECT doc_id, source, CAST(block_idx AS INT) AS block_idx,
+      |  CASE WHEN len(p3) > 0 THEN array_to_string(list_transform(t3, s -> lower(s)), '|') END AS Names_text,
+      |  CASE WHEN len(p3) > 0 THEN array_to_string(list_transform(p3,
+      |    p -> coalesce(array_to_string(list_transform(p, tk -> CAST(tk AS VARCHAR)), ' '), '')), '|') END AS Names_tokens,
+      |  CASE WHEN len(p3) > 0 THEN CAST(len(p3) AS INT) END AS Names_count,
+      |  'card' AS Names_const,
+      |  CASE WHEN len(p4) > 0 THEN array_to_string(list_transform(t4,
+      |    s -> coalesce(array_to_string(list_transform(string_split(trim(s), ' '),
+      |        w -> upper(w[1:1]) || lower(w[2:])), ' '), '')), '|') END AS Images_text,
+      |  CASE WHEN len(p4) > 0 THEN CAST(len(p4) AS INT) END AS Images_count
+      |FROM dec""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -195,28 +223,20 @@ object SparkEntry {
         |  array_to_string(pos, ',') AS hit_positions, Names_count
         |FROM hits WHERE len(pos) > 0
         |ORDER BY doc_id, block_idx""".stripMargin),
-    "extract_flat" -> (tokenCte +
-      """,
-        |m AS (SELECT doc_id, source, block_idx,
-        |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 3), f -> f[2:]) AS p3,
-        |    list_transform(list_filter(fields, f -> len(f) > 0 AND f[1] = 4), f -> f[2:]) AS p4
-        |  FROM fs),
-        |dec AS (SELECT doc_id, source, block_idx, p3, p4,
-        |    list_transform(p3, p -> coalesce(array_to_string(list_transform(p, tk -> to_base(tk, 36)), ' '), '')) AS t3,
-        |    list_transform(p4, p -> coalesce(array_to_string(list_transform(p, tk -> to_base(tk, 36)), ' '), '')) AS t4
-        |  FROM m)
-        |SELECT doc_id, source, CAST(block_idx AS INT) AS block_idx,
-        |  CASE WHEN len(p3) > 0 THEN array_to_string(list_transform(t3, s -> lower(s)), '|') END AS Names_text,
-        |  CASE WHEN len(p3) > 0 THEN array_to_string(list_transform(p3,
-        |    p -> coalesce(array_to_string(list_transform(p, tk -> CAST(tk AS VARCHAR)), ' '), '')), '|') END AS Names_tokens,
-        |  CASE WHEN len(p3) > 0 THEN CAST(len(p3) AS INT) END AS Names_count,
-        |  'card' AS Names_const,
-        |  CASE WHEN len(p4) > 0 THEN array_to_string(list_transform(t4,
-        |    s -> coalesce(array_to_string(list_transform(string_split(trim(s), ' '),
-        |        w -> upper(w[1:1]) || lower(w[2:])), ' '), '')), '|') END AS Images_text,
-        |  CASE WHEN len(p4) > 0 THEN CAST(len(p4) AS INT) END AS Images_count
-        |FROM dec
-        |ORDER BY doc_id, block_idx""".stripMargin),
+    "extract_flat" -> (extractFlatSql + "\nORDER BY doc_id, block_idx"),
+    // grouped-per-page digest over the SAME independently-recomputed
+    // block records (PaginateResults data shape): DuckDB re-derives
+    // every block string and aggregates in block_idx order
+    "extract_grouped" ->
+      ("""SELECT doc_id, source, CAST(COUNT(*) AS INT) AS n_blocks,
+        |  md5(string_agg(concat_ws(chr(31),
+        |    coalesce(Names_text, ''), coalesce(Names_tokens, ''),
+        |    coalesce(CAST(Names_count AS VARCHAR), ''), coalesce(Names_const, ''),
+        |    coalesce(Images_text, ''), coalesce(CAST(Images_count AS VARCHAR), '')),
+        |    '|' ORDER BY block_idx)) AS blocks_md5
+        |FROM (
+        |""".stripMargin + extractFlatSql +
+        "\n) ef GROUP BY doc_id, source ORDER BY doc_id"),
     "details_join" -> (tokenCte +
       """,
         |m AS (SELECT doc_id, source, block_idx,
@@ -362,6 +382,13 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the engine-independent property of an HLL estimate is the
+    // tolerance band, not the estimate: the oracle asserts the exact
+    // counts and approx_ok = TRUE (Spark computes the band itself)
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "exact_dedup" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id,

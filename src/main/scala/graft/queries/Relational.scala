@@ -207,6 +207,22 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Approximate distinct counts — A5's scale path. Raw HLL++
+    * estimates are engine-specific, so the driver-checkable property
+    * is the tolerance band: the estimate must sit within ±5% of the
+    * exact count (rsd 0.02 ⇒ ~2.5σ headroom; HLL is deterministic
+    * given the data, so this is stable, not flaky). The oracle
+    * computes the exact counts and asserts the band as literal TRUE. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("approx_ok"))
+      .orderBy(col("event_type"))
+
   /** Grouping-sets style report via rollup (SURVEY §2.5 note). */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

@@ -120,6 +120,36 @@ object TokenEngine {
       array_join(col("Images_text"), "|").as("Images_text"),
       col("Images_count"))
 
+  /** PaginateResults grouped variant of [[extractFlatDriver]] — the
+    * driver row for the grouped encoder's data shape (reference
+    * scrape/structure.go:84-91: blocks nested per page): one row per
+    * page carrying its block count and an order-sensitive digest of
+    * the canonical block strings in block_idx order. The DuckDB
+    * oracle recomputes both independently from the exported token
+    * table. Plan: the narrow extraction plus ONE exchange on the page
+    * key — the same shape RecordEncoder.toJsonPages pays. */
+  def extractGrouped(spark: SparkSession, dir: String): DataFrame = {
+    // canonical block string, unit-separator (0x1f) delimited; every
+    // field coalesced so positions stay unambiguous. Mirrored by
+    // chr(31) in the oracle SQL.
+    val blockStr = concat_ws("",
+      coalesce(col("Names_text"), lit("")),
+      coalesce(col("Names_tokens"), lit("")),
+      coalesce(col("Names_count").cast("string"), lit("")),
+      coalesce(col("Names_const"), lit("")),
+      coalesce(col("Images_text"), lit("")),
+      coalesce(col("Images_count").cast("string"), lit("")))
+    extractFlatDriver(spark, dir)
+      .select(col("doc_id"), col("source"), col("block_idx"), blockStr.as("s"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("int").as("n_blocks"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("block_idx"), col("s")))),
+            x => x.getField("s")),
+          "|")).as("blocks_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Consistency predicate from input_hint: size(tokens) = n_tok, and
     * per-source document stats (the per-source extraction-count
     * aggregate of north_star, batch form). */
