@@ -63,7 +63,7 @@ object SparkEntry {
   )
 
   /** Shared DuckDB CTE prefix for the token-domain oracles: the
-    * exported token table ({GRAFT_OUT}/_tables/tokens, written by
+    * exported token table ({GRAFT_OUT}/.oracle_tables/tokens, written by
     * Verify; placeholder substituted there) re-segmented with the
     * exact splitBlocks/splitFields semantics of TokenKernels —
     * sentinel 2 opens a block, delimiter 1 closes a field, trailing
@@ -72,7 +72,7 @@ object SparkEntry {
     * in SQL, over the same table. */
   private val tokenCte: String =
     """WITH t AS (SELECT doc_id, source, tokens
-      |           FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet')),
+      |           FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet')),
       |b0 AS (SELECT doc_id, source, tokens,
       |         list_filter(range(1, len(tokens)+1), i -> tokens[i] = 2) AS st
       |       FROM t),
@@ -118,19 +118,19 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Token-domain queries read the tables Verify exports under
-    * {GRAFT_OUT}/_tables (substituted with the absolute outDir). */
+    * {GRAFT_OUT}/.oracle_tables (substituted with the absolute outDir). */
   def oracleSql: Map[String, String] = Map(
     "source_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
         |  MAX(n_tok) AS max_tokens
-        |FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet')
+        |FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet')
         |WHERE len(tokens) = n_tok
         |GROUP BY source ORDER BY source""".stripMargin,
     // candidate generation = the exported deterministic bucket table;
     // ranking/top-k recomputed by DuckDB from raw embeddings
     "ann_lsh" ->
-      """WITH b AS (SELECT * FROM read_parquet('{GRAFT_OUT}/_tables/ann_buckets/*.parquet')),
+      """WITH b AS (SELECT * FROM read_parquet('{GRAFT_OUT}/.oracle_tables/ann_buckets/*.parquet')),
         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
@@ -148,7 +148,7 @@ object SparkEntry {
     // ~1e-7 apart; the nearest pair to the 0.45 threshold sits 1.6e-3
     // away, so the verdicts cannot diverge on this data)
     "embed_neardup_lsh" ->
-      """WITH b AS (SELECT * FROM read_parquet('{GRAFT_OUT}/_tables/neardup_buckets/*.parquet')),
+      """WITH b AS (SELECT * FROM read_parquet('{GRAFT_OUT}/.oracle_tables/neardup_buckets/*.parquet')),
         |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
         |    AND l.vec_id < r.vec_id)
@@ -163,7 +163,7 @@ object SparkEntry {
     // recomputed independently
     "simhash_pairs" ->
       """WITH s AS (SELECT doc_id, sig
-        |  FROM read_parquet('{GRAFT_OUT}/_tables/simhash_sigs/*.parquet')),
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/simhash_sigs/*.parquet')),
         |b AS (SELECT doc_id, sig,
         |    unnest([0, 1, 2, 3]) AS band,
         |    unnest([(sig >> 0) & 65535, (sig >> 16) & 65535,
@@ -178,8 +178,8 @@ object SparkEntry {
         |ORDER BY d1, d2""".stripMargin,
     "ann_ivf" ->
       """WITH cand AS (SELECT DISTINCT p.q_id, c.vec_id AS n_id
-        |  FROM read_parquet('{GRAFT_OUT}/_tables/ivf_probes/*.parquet') p
-        |  JOIN read_parquet('{GRAFT_OUT}/_tables/ivf_cells/*.parquet') c
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/ivf_probes/*.parquet') p
+        |  JOIN read_parquet('{GRAFT_OUT}/.oracle_tables/ivf_cells/*.parquet') c
         |    ON p.cell = c.cell
         |  WHERE p.q_id <> c.vec_id),
         |scored AS (SELECT q_id, n_id,
@@ -198,12 +198,12 @@ object SparkEntry {
       """SELECT kind, COUNT(*) AS n,
         |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
         |  CAST(64 AS INT) AS dim
-        |FROM read_parquet('{GRAFT_OUT}/_tables/media/*.parquet')
+        |FROM read_parquet('{GRAFT_OUT}/.oracle_tables/media/*.parquet')
         |GROUP BY kind ORDER BY kind""".stripMargin,
     "tag_histogram" ->
       """SELECT source, CAST(t AS INT) AS tag, COUNT(*) AS n
         |FROM (SELECT source, unnest(tokens) AS t
-        |      FROM read_parquet('{GRAFT_OUT}/_tables/tokens/*.parquet'))
+        |      FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet'))
         |WHERE t >= 3 AND t < 13
         |GROUP BY source, t ORDER BY source, tag""".stripMargin,
     "token_pattern" -> (tokenCte +
@@ -245,7 +245,7 @@ object SparkEntry {
         |      coalesce(array_to_string(list_transform(f[2:], tk -> to_base(tk, 36)), ' '), '')) AS keys
         |  FROM fs),
         |childcnt AS (SELECT doc_id AS k, len(list_filter(tokens, x -> x = 2)) AS nb
-        |  FROM read_parquet('{GRAFT_OUT}/_tables/child_tokens/*.parquet')),
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/child_tokens/*.parquet')),
         |kx AS (SELECT doc_id, block_idx, unnest(keys) AS k FROM m WHERE len(keys) > 0),
         |kd AS (SELECT kx.doc_id, kx.block_idx, SUM(coalesce(childcnt.nb, 0)) AS nd
         |  FROM kx LEFT JOIN childcnt ON kx.k = childcnt.k
@@ -264,11 +264,11 @@ object SparkEntry {
     // scalar (PaginateSpec-pinned) and the synthetic web are shared
     "paginate_crawl" ->
       """WITH RECURSIVE pages AS (
-        |  SELECT * FROM read_parquet('{GRAFT_OUT}/_tables/crawl_pages/*.parquet')),
+        |  SELECT * FROM read_parquet('{GRAFT_OUT}/.oracle_tables/crawl_pages/*.parquet')),
         |walk AS (
         |  SELECT o.origin, o.origin AS key, 0 AS page_idx,
         |    [o.origin] AS path
-        |  FROM read_parquet('{GRAFT_OUT}/_tables/crawl_origins/*.parquet') o
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/crawl_origins/*.parquet') o
         |  JOIN pages p ON p.key = o.origin
         |  UNION ALL
         |  SELECT w.origin, p.next_key, w.page_idx + 1,
@@ -484,7 +484,7 @@ object SparkEntry {
     // distinct, sort, digest) recomputed independently here
     "fingerprint_winnow" ->
       """WITH g AS (SELECT doc_id, hashes
-        |  FROM read_parquet('{GRAFT_OUT}/_tables/winnow_grams/*.parquet')),
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/winnow_grams/*.parquet')),
         |w AS (SELECT doc_id,
         |    list_sort(CASE WHEN len(hashes) < 4 THEN list_distinct(hashes)
         |      ELSE list_distinct(list_transform(range(1, len(hashes) - 2),

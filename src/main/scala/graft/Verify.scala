@@ -20,50 +20,50 @@ object Verify {
     // as views, but oracle SQL may read any absolute path — entries
     // use the {GRAFT_OUT} placeholder, substituted here.
     graft.queries.TokenEngine.docsFor(spark, sfDir)
-      .write.mode("overwrite").parquet(s"$outDir/_tables/tokens")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/tokens")
     graft.queries.TokenEngine.childUniverse(spark, sfDir)
-      .write.mode("overwrite").parquet(s"$outDir/_tables/child_tokens")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/child_tokens")
     // crawl oracle inputs: origin keys (the SAME definition the crawl
     // queries use) + a SUPERSET of the reachable page universe with
     // per-page next_key — DuckDB re-walks the chains recursively
     // (stop/cycle/maxPages logic independent)
     graft.queries.TokenEngine.crawlOrigins(spark, sfDir)
-      .write.mode("overwrite").parquet(s"$outDir/_tables/crawl_origins")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/crawl_origins")
     graft.queries.TokenEngine.crawlUniverse(spark, sfDir)
-      .write.mode("overwrite").parquet(s"$outDir/_tables/crawl_pages")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/crawl_pages")
     graft.pipeline.Multimodal
       .synthesize(spark, graft.queries.Pipeline.mediaCount(sfDir))
-      .write.mode("overwrite").parquet(s"$outDir/_tables/media")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/media")
     // deterministic hyperplane buckets of the embeddings corpus: lets
     // DuckDB rank the SAME candidate set independently (the bucketing
     // itself is seeded-constant, verified by the recall test)
     graft.pipeline.Similarity
       .lshCandidates(spark.read.parquet(s"$sfDir/embeddings.parquet"))
-      .write.mode("overwrite").parquet(s"$outDir/_tables/ann_buckets")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/ann_buckets")
     graft.pipeline.Dedup
       .simhashSigs(spark.read.parquet(s"$sfDir/documents.parquet"))
-      .write.mode("overwrite").parquet(s"$outDir/_tables/simhash_sigs")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/simhash_sigs")
     // per-doc ordered k-gram hash stream: DuckDB redoes winnowing
     // (window-min, distinct, sort, digest) independently
     graft.pipeline.TextAnalysis
       .winnowGrams(spark.read.parquet(s"$sfDir/documents.parquet"))
-      .write.mode("overwrite").parquet(s"$outDir/_tables/winnow_grams")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/winnow_grams")
     // near-dup LSH bucket table (24 tables × 4 planes — the
     // embedNearDupLsh parameters)
     graft.pipeline.Similarity
       .lshCandidates(spark.read.parquet(s"$sfDir/embeddings.parquet"),
         nTables = 24, nPlanes = 4)
-      .write.mode("overwrite").parquet(s"$outDir/_tables/neardup_buckets")
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/neardup_buckets")
     // IVF cell assignments + query probe lists (same deterministic-
     // bucketing-export scheme as ann_buckets)
     locally {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val cents = graft.pipeline.Similarity.ivfCentroids(e)
       graft.pipeline.Similarity.ivfCells(e, cents)
-        .write.mode("overwrite").parquet(s"$outDir/_tables/ivf_cells")
+        .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/ivf_cells")
       graft.pipeline.Similarity
         .ivfProbeRows(e.filter(org.apache.spark.sql.functions.col("vec_id") < 10), cents, 4)
-        .write.mode("overwrite").parquet(s"$outDir/_tables/ivf_probes")
+        .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/ivf_probes")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
