@@ -111,7 +111,15 @@ object TokenEngine {
     * boundaries via a nested join. Array forms stay internal — the
     * Scala-oracle tests pin them. */
   def extractFlatDriver(spark: SparkSession, dir: String): DataFrame =
-    extractFlat(spark, dir).select(
+    scalarize(extractFlat(spark, dir))
+
+  /** The array→scalar projection of [[extractFlatDriver]], reusable
+    * over the unsorted extraction (order-insensitive consumers must
+    * not inherit extractFlat's orderBy — Catalyst does NOT eliminate
+    * the range exchange + sort under a later aggregation, verified
+    * via explain). */
+  private def scalarize(extracted: DataFrame): DataFrame =
+    extracted.select(
       col("doc_id"), col("source"), col("block_idx"),
       array_join(col("Names_text"), "|").as("Names_text"),
       org.apache.spark.sql.graft.TokenExpressions.intJoinAll(col("Names_tokens"))
@@ -139,7 +147,10 @@ object TokenEngine {
       coalesce(col("Names_const"), lit("")),
       coalesce(col("Images_text"), lit("")),
       coalesce(col("Images_count").cast("string"), lit("")))
-    extractFlatDriver(spark, dir)
+    // unsorted extraction: the per-page digest orders blocks itself
+    // (array_sort), so inheriting extractFlat's orderBy would pay a
+    // full range exchange + sort for nothing
+    scalarize(ExtractCompiler.compile(docsFor(spark, dir), flagshipSpec))
       .select(col("doc_id"), col("source"), col("block_idx"), blockStr.as("s"))
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).cast("int").as("n_blocks"),

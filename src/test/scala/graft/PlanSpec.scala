@@ -31,6 +31,16 @@ class PlanSpec extends SparkSuite {
     assert(!p2.contains("Exchange"), s"extraction must not shuffle:\n$p2")
   }
 
+  test("extract_grouped shuffles exactly twice: one hash agg, one presentation sort") {
+    // the grouped digest must build on the UNSORTED extraction —
+    // inheriting extractFlat's orderBy would add a third (range)
+    // exchange + sort below the aggregate that Catalyst does not
+    // eliminate (verified via explain when this was pinned)
+    val p = physical(TokenEngine.extractGrouped(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (agg + final sort), got $exchanges:\n$p")
+  }
+
   test("custom kernels run inside the whole-stage-codegen span") {
     import spark.implicits._
     val docs = Seq(("d", Array(2, 3, 100, 1), 4, "s")).toDF("doc_id", "tokens", "n_tok", "source")
