@@ -38,6 +38,7 @@ object SparkEntry {
     "extract_flat" -> (TokenEngine.extractFlatDriver _),
     "extract_grouped" -> (TokenEngine.extractGrouped _),
     "source_stats" -> (TokenEngine.sourceStats _),
+    "robots_gate" -> (TokenEngine.robotsGate _),
     "tag_histogram" -> (TokenEngine.tagHistogram _),
     "token_pattern" -> (TokenEngine.tokenPattern _),
     "details_join" -> (TokenEngine.detailsJoin _),
@@ -127,6 +128,22 @@ object SparkEntry {
         |FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet')
         |WHERE len(tokens) = n_tok
         |GROUP BY source ORDER BY source""".stripMargin,
+    // robots decisions re-derived independently: the oracle uses the
+    // boolean form (NOT disallow-prefix OR allow-prefix), equivalent
+    // to RobotsGate's longest-prefix rule on this rule shape because
+    // the allow prefix strictly extends the disallow prefix
+    "robots_gate" ->
+      """WITH t AS (SELECT doc_id, source, n_tok
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet')),
+        |d AS (SELECT *, CAST(source[-1] AS INT) % 10 AS dig FROM t),
+        |kept AS (SELECT * FROM d WHERE
+        |  CASE WHEN dig = 0 THEN TRUE
+        |       WHEN dig = 1 THEN FALSE
+        |       ELSE (NOT starts_with(doc_id, source || '/doc-0000'))
+        |            OR starts_with(doc_id, source || '/doc-00001') END)
+        |SELECT source, COUNT(*) AS n_allowed,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tok
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // candidate generation = the exported deterministic bucket table;
     // ranking/top-k recomputed by DuckDB from raw embeddings
     "ann_lsh" ->

@@ -161,6 +161,30 @@ object TokenEngine {
       .orderBy(col("doc_id"))
   }
 
+  /** The robots gate (S5) as a driver row: per-source rules DERIVED AS
+    * DATA (no driver-side literals — the rule table is itself a
+    * DataFrame, broadcast by the gate) and applied to the token table
+    * with the Google status semantics (RobotsGate). Rule scheme keyed
+    * on the source's last digit d: d=0 → robots fetch 404 (full
+    * allow), d=1 → 503 (full disallow), else 200 with
+    * disallow prefix `<source>/doc-0000` re-permitted by the longer
+    * allow prefix `<source>/doc-00001`. The DuckDB oracle re-derives
+    * the same decisions with an independent boolean form. */
+  def robotsGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = (substring(col("source"), -1, 1).cast("int") % 10)
+    val rules = docsFor(spark, dir).select(col("source")).distinct()
+      .select(
+        col("source"),
+        when(d === 0, 404).when(d === 1, 503).otherwise(200).as("status"),
+        array(concat(col("source"), lit("/doc-00001"))).as("allows"),
+        array(concat(col("source"), lit("/doc-0000"))).as("disallows"))
+    graft.streaming.RobotsGate.gate(docsFor(spark, dir), rules)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_allowed"),
+        sum(col("n_tok")).as("total_tok"))
+      .orderBy(col("source"))
+  }
+
   /** Consistency predicate from input_hint: size(tokens) = n_tok, and
     * per-source document stats (the per-source extraction-count
     * aggregate of north_star, batch form). */
