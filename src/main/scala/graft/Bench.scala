@@ -147,11 +147,18 @@ object Bench {
   private val gateGBs = sys.env.getOrElse("SPARK_GRAFT_MEMBW_GATE", "4.0").toDouble
   private val gateBudgetTotal = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "600").toLong
   private val gateBudget = new java.util.concurrent.atomic.AtomicLong(gateBudgetTotal)
-  /** Per-gate slices scale with the budget so raising
-    * SPARK_GRAFT_QUIET_WAIT actually buys longer waits (fixed caps
-    * would silently ignore any budget past their sum). */
-  private val levelGateCap = math.max(420L, gateBudgetTotal / 6)
-  private val queryGateCap = math.max(180L, gateBudgetTotal / 12)
+  /** Per-gate slices scale with the budget in BOTH directions: pure
+    * fractions of the total (no large floors), so the first one or
+    * two degraded gates cannot drain the whole budget and leave every
+    * later level gate with 0 s — at the 600 s default a level gate
+    * waits ≤150 s and the query gate ≤50 s, spreading the budget over
+    * the 4-6 gates of a default run. (The r3 default run showed the
+    * failure mode of floored caps: queries 180 s + pair1-4n 420 s
+    * drained the budget, then pair1-n gated at membw 1.3 GB/s with
+    * 0 s left — exactly the N-more-throttled pairing the gate exists
+    * to prevent.) */
+  private val levelGateCap = math.max(30L, gateBudgetTotal / 4)
+  private val queryGateCap = math.max(30L, gateBudgetTotal / 12)
   /** `maxThisGate` caps ONE gate's draw on the shared budget: the
     * per-query gate gets a small slice (min-of-3 already reads through
     * per-query noise) so a long degraded stretch cannot starve the
@@ -378,16 +385,23 @@ object Bench {
     * corpus-sized RSS alive for the whole stream phase); parse the
     * expected-rows count from its BENCHSYNTH line. */
   private def forkSynth(inDir: String, docs: Long, layoutCpus: Int, synthCpus: Int): Long = {
-    val out = forkSelf(Map(
-      "SPARK_GRAFT_SYNTH_DIR" -> inDir,
-      "SPARK_GRAFT_STREAM_DOCS" -> docs.toString,
-      "SPARK_GRAFT_SYNTH_LAYOUT" -> layoutCpus.toString,
-      "SPARK_GRAFT_SYNTH_CPUS" -> synthCpus.toString))
-    out.linesIterator.find(_.startsWith("BENCHSYNTH ")) match {
-      case Some(line) => line.drop("BENCHSYNTH ".length).trim.toLong
-      case None => throw new IllegalStateException(
-        s"synth fork produced no BENCHSYNTH line:\n$out")
-    }
+    def once(): Option[Long] =
+      forkSelf(Map(
+        "SPARK_GRAFT_SYNTH_DIR" -> inDir,
+        "SPARK_GRAFT_STREAM_DOCS" -> docs.toString,
+        "SPARK_GRAFT_SYNTH_LAYOUT" -> layoutCpus.toString,
+        "SPARK_GRAFT_SYNTH_CPUS" -> synthCpus.toString))
+        .linesIterator.find(_.startsWith("BENCHSYNTH "))
+        .map(_.drop("BENCHSYNTH ".length).trim.toLong)
+    // same transient-death insurance as level(): one retry, so a
+    // single OOM-killed synth child doesn't zero the stream phase
+    once().orElse {
+      System.err.println("[bench] retrying dead synth fork")
+      rmTree(java.nio.file.Paths.get(inDir))
+      Files.createDirectories(java.nio.file.Paths.get(inDir))
+      once()
+    }.getOrElse(throw new IllegalStateException(
+      "synth fork produced no BENCHSYNTH line after retry"))
   }
 
   /** Re-invoke this main in a fresh JVM pinned to one parallelism

@@ -71,8 +71,10 @@ object TokenEngine {
           case e: Throwable =>
             // genuine failure: still reclaim the RAM-backed tmp table
             // (/dev/shm) before propagating, or a 256MB+ directory
-            // leaks in memory per failed attempt
-            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+            // leaks in memory per failed attempt — but never let the
+            // cleanup's own failure mask the root cause
+            try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+            catch { case c: Throwable => e.addSuppressed(c) }
             throw e
         }
       }

@@ -99,7 +99,11 @@ object RecordEncoder extends Serializable {
         def next(): String = {
           val key = buf.head.get(pi)
           val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
-          while (buf.hasNext && buf.head.get(pi) == key) rows += buf.next()
+          // deepEquals, not ==: an array/binary page key deserializes
+          // to a fresh instance per row, and reference equality would
+          // silently split every page into single-block pages
+          while (buf.hasNext && java.util.Objects.deepEquals(buf.head.get(pi), key))
+            rows += buf.next()
           render(rows.toSeq)
         }
       }

@@ -156,20 +156,36 @@ final class ResultTable(val root: String) {
    * stands in for (SURVEY §7.0).
    */
   def readStream(spark: SparkSession,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // backfill: a table written before pub/ existed, or whose writer
+    // died between commit and publication and never replayed, must
+    // not be silently empty to streaming readers while read() sees
+    // its commits — publish is idempotent, so republishing every
+    // snapshot on open is cheap (link-exists fast path)
+    snapshots().foreach(publish)
     spark.readStream.schema(schema).parquet(pubDir.toString)
+  }
 
   /** Idempotent commit-time publication: hardlink a committed batch's
     * data files into `pub/` for streaming readers. Crash windows are
     * repaired on replay: died before the commit file → no links exist
     * and the rewrite republishes; died mid-publication → the
     * `isCommitted` fast path re-runs publish from the manifest. */
-  private def publish(queryId: String, batchId: Long): Unit =
-    manifestFiles(s"$queryId-$batchId").zipWithIndex.foreach { case (f, i) =>
-      val link = pubDir.resolve(s"$queryId-$batchId-$i.parquet")
+  private def publish(name: String): Unit =
+    manifestFiles(name).zipWithIndex.foreach { case (f, i) =>
+      val link = pubDir.resolve(s"$name-$i.parquet")
       if (!Files.exists(link))
         try Files.createLink(link, Paths.get(f))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          // a concurrent committer for the same batch overwrote the
+          // data dir after this manifest was written (two writers
+          // sharing a queryId — misuse, but it must not kill the
+          // stream); the surviving committer's publish wins
+          case _: java.nio.file.NoSuchFileException =>
+            System.err.println(
+              s"[ResultTable] publish: manifest file vanished ($f) — concurrent committer?")
+        }
     }
 
   /**
@@ -181,7 +197,7 @@ final class ResultTable(val root: String) {
    */
   def appendBatch(queryId: String)(df: DataFrame, batchId: Long): Unit = {
     if (isCommitted(queryId, batchId)) {
-      publish(queryId, batchId) // repair a crash between commit and publication
+      publish(s"$queryId-$batchId") // repair a crash between commit and publication
       return                    // idempotent replay skip
     }
     val target = dataDir.resolve(s"$queryId-$batchId")
@@ -202,6 +218,6 @@ final class ResultTable(val root: String) {
       // concurrent/replayed committer won the race — fine, identical content
       case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
     }
-    publish(queryId, batchId)
+    publish(s"$queryId-$batchId")
   }
 }

@@ -238,6 +238,21 @@ class StreamingSpec extends SparkSuite {
       val after = spark.table("snap_t").select("k").as[String].collect().toList.sorted
       assert(after == List("a", "b", "c"), s"after replay: $after")
     } finally q.stop()
+
+    // backfill: a table whose pub/ view is missing (pre-pub-era table,
+    // or writer died between commit and publication and never
+    // replayed) must repopulate it on streaming open from the commit
+    // log, not stream empty while read() sees the commits
+    val pub = java.nio.file.Paths.get(s"$dir/pub")
+    Files.list(pub).forEach(p => Files.delete(p))
+    val reopened = new ResultTable(dir)
+    val q2 = reopened.readStream(spark, schema)
+      .writeStream.format("memory").queryName("snap_t2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val seen2 = spark.table("snap_t2").select("k").as[String].collect().toList.sorted
+      assert(seen2 == List("a", "b", "c"), s"backfill missed commits: $seen2")
+    } finally q2.stop()
   }
 
   test("byQueryParam pagination expands start keys into bounded page-key sequences") {
