@@ -687,9 +687,22 @@ object Bench {
               .filter(_.nonEmpty).mkString("[", ",", "]")
             val allA4 = pairs.map(_.p4._4.stripPrefix("[").stripSuffix("]"))
               .filter(_.nonEmpty).mkString("[", ",", "]")
+            // per-level min attempt membw (the probe the forked child
+            // itself ran around each measured attempt): the parent's
+            // gate probe can lapse before the fork's measurement, so
+            // this is the ground truth for what each level's window
+            // actually looked like — surfaced per pair so a
+            // throttle-skewed pairing is readable without digging
+            // through the attempts arrays
+            def minBw(attemptsJson: String): Double = {
+              val bws = """"membw_gbs":([0-9.]+)""".r
+                .findAllMatchIn(attemptsJson).map(_.group(1).toDouble).toSeq
+              if (bws.isEmpty) 0.0 else bws.min
+            }
             val pj = pairs.map { r =>
               f"""{"cpus_n":${r.cpusN},"rate_n":${r.p1._1}%.1f,"rate_4n":${r.p4._1}%.1f,""" +
               f""""efficiency":${r.eff}%.3f,""" +
+              f""""membw_n_min":${minBw(r.p1._4)}%.1f,"membw_4n_min":${minBw(r.p4._4)}%.1f,""" +
               f""""gate_n":{"membw_gbs":${r.g1._1}%.1f,"waited_sec":${r.g1._2}},""" +
               f""""gate_4n":{"membw_gbs":${r.g4._1}%.1f,"waited_sec":${r.g4._2}}}"""
             }.mkString("[", ",", "]")
