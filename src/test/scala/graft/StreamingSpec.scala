@@ -507,6 +507,43 @@ class StreamingSpec extends SparkSuite {
       ("parsed", "/pub/ok/x"), ("parsed", "/index"),
       ("gone", "/anything"), ("norules", "/x")), kept.toString)
 
+    // randomized equivalence: the Catalyst predicate vs a straight-
+    // line Scala implementation of the same Google semantics, over a
+    // tiny path alphabet so prefix collisions, nesting and exact
+    // allow/disallow ties all occur (seeded — deterministic)
+    locally {
+      val rnd = new scala.util.Random(42)
+      def randPrefix(): String =
+        "/" + Seq.fill(rnd.nextInt(3) + 1)(
+          s"${('a' + rnd.nextInt(3)).toChar}${('a' + rnd.nextInt(3)).toChar}").mkString("/")
+      val ruleRows = (0 until 40).map { i =>
+        RobotsGate.RobotsRules(s"s$i",
+          Seq(200, 200, 204, 403, 404, 500, 503)(rnd.nextInt(7)),
+          Seq.fill(rnd.nextInt(3))(randPrefix()),
+          Seq.fill(rnd.nextInt(3))(randPrefix()))
+      }
+      // sources up to s49: some frontier rows have no rules entry
+      val paths = (0 until 400).map { _ =>
+        (s"s${rnd.nextInt(50)}", randPrefix() + (if (rnd.nextBoolean()) "/x" else ""))
+      }
+      def naive(r: Option[RobotsGate.RobotsRules], path: String): Boolean = r match {
+        case None => true
+        case Some(rr) if rr.status >= 400 && rr.status <= 499 => true
+        case Some(rr) if rr.status >= 500 && rr.status <= 599 => false
+        case Some(rr) =>
+          val a = rr.allows.filter(path.startsWith).map(_.length).maxOption.getOrElse(-1)
+          val d = rr.disallows.filter(path.startsWith).map(_.length).maxOption.getOrElse(-1)
+          d == -1 || a >= d
+      }
+      val byName = ruleRows.map(r => r.source -> r).toMap
+      val expected = paths.filter { case (s, p) => naive(byName.get(s), p) }.toSet
+      val got = RobotsGate.gate(
+          paths.toDF("source", "doc_id"), RobotsGate.rulesTable(spark, ruleRows))
+        .select("source", "doc_id").as[(String, String)].collect().toSet
+      assert(got === expected,
+        s"diff: missing=${expected -- got}, extra=${got -- expected}")
+    }
+
     // the same gate applied to a fragment STREAM (stateless broadcast
     // join — no state store, no watermark interaction)
     val mem = MemoryStream[Fragment]
