@@ -42,14 +42,15 @@ final case class PaceState(lastScheduledMs: Long)
  */
 object Pacing {
 
-  def update(delayMs: Long)(
+  def update(delayMs: Long, perSourceDelayMs: Map[String, Long])(
       source: String,
       rows: Iterator[(String, String, Timestamp)],
       state: GroupState[PaceState]): Iterator[PacedRow] = {
+    val delay = perSourceDelayMs.getOrElse(source, delayMs)
     val buf = rows.toVector.sortBy(r => (r._3.getTime, r._1))
     var last = state.getOption.map(_.lastScheduledMs).getOrElse(Long.MinValue)
     val out = buf.zipWithIndex.map { case ((docId, src, et), i) =>
-      val sched = math.max(et.getTime, if (last == Long.MinValue) et.getTime else last + delayMs)
+      val sched = math.max(et.getTime, if (last == Long.MinValue) et.getTime else last + delay)
       last = sched
       PacedRow(docId, src, et, new Timestamp(sched), i)
     }
@@ -57,17 +58,22 @@ object Pacing {
     out.iterator
   }
 
-  /** Pace `(doc_id, source, event_time)` rows per source key. */
+  /** Pace `(doc_id, source, event_time)` rows per source key.
+    * `perSourceDelayMs` overrides the default per source — the robots
+    * Crawl-delay directive channel ([[RobotsGate.crawlDelays]]);
+    * absent sources use `delayMs` (the reference's FetchDelay
+    * fallback, scrape/scrape.go:702-709). */
   def pace(
       rows: Dataset[(String, String, Timestamp)],
       delayMs: Long = 500L,
-      watermarkDelay: String = "10 minutes"): Dataset[PacedRow] = {
+      watermarkDelay: String = "10 minutes",
+      perSourceDelayMs: Map[String, Long] = Map.empty): Dataset[PacedRow] = {
     implicit val outEnc = Encoders.product[PacedRow]
     implicit val stateEnc = Encoders.product[PaceState]
     rows
       .withWatermark("_3", watermarkDelay)
       .groupByKey(_._2)(Encoders.STRING)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update(delayMs))
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update(delayMs, perSourceDelayMs))
   }
 }

@@ -131,6 +131,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("politeness pacing honors per-source robots Crawl-delay, default for the rest") {
+    // reference fetch/robotstxt.go:77-84: Crawl-delay per domain when
+    // present; FetchDelay fallback otherwise (scrape.go:702-709)
+    val delays = RobotsGate.crawlDelays(Seq(
+      RobotsGate.RobotsRules("slow", 200, Nil, Nil, crawlDelayMs = 2000L),
+      RobotsGate.RobotsRules("nodirective", 200, Nil, Nil))) // 0 -> absent
+    assert(delays == Map("slow" -> 2000L))
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val out = Pacing.pace(mem.toDS(), delayMs = 500L, perSourceDelayMs = delays)
+    val q = out.writeStream.format("memory").queryName("pace_cd")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("s1", "slow", ts(0)), ("s2", "slow", ts(0)), ("s3", "slow", ts(0)),
+        ("f1", "fast", ts(0)), ("f2", "fast", ts(0)))
+      q.processAllAvailable()
+      val rows = spark.table("pace_cd").as[PacedRow].collect()
+      val slow = rows.filter(_.source == "slow").map(_.scheduled_time.getTime).sorted
+      val fast = rows.filter(_.source == "fast").map(_.scheduled_time.getTime).sorted
+      assert(slow.toSeq == Seq(0L, 2000L, 4000L).map(TokenGen.BASE_EPOCH_MS + _),
+        s"slow: ${slow.toSeq}")
+      assert(fast.toSeq == Seq(0L, 500L).map(TokenGen.BASE_EPOCH_MS + _),
+        s"fast: ${fast.toSeq}")
+    } finally q.stop()
+  }
+
   test("tumbling/sliding/session window aggregates over a doc stream") {
     val mem = MemoryStream[AssembledDoc]
     val agg = WindowAggs.tumblingStream(mem.toDF(), "10 seconds", "5 seconds")
