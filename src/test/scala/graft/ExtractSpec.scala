@@ -113,6 +113,19 @@ class ExtractSpec extends SparkSuite {
     val csv = graft.sink.RecordEncoder.toCsvLines(rows.select("A_text", "B_text"))
       .collect().toSet
     assert(csv == Set("x,", "y,v1", "b,", ",v2"), csv.toString)
+
+    // binary page key: each deserialized row yields a fresh
+    // Array[Byte] instance, so grouping must use deep equality —
+    // reference-equality would split every page into 1-block pages
+    val binRows = Seq(
+      (Array[Byte](1, 2), 0, "a"), (Array[Byte](3), 0, "c"),
+      (Array[Byte](1, 2), 1, "b"))
+      .toDF("page", "block_idx", "A_text")
+    val binJson = graft.sink.RecordEncoder
+      .toJsonPages(binRows, "page", "block_idx").collect().sorted
+    assert(binJson.toSeq == Seq(
+      """[{"A_text":"a"},{"A_text":"b"}]""",
+      """[{"A_text":"c"}]""").sorted, binJson.mkString("\n"))
   }
 
   test("spec validation reproduces reference error cases") {
