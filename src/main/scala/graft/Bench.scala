@@ -120,6 +120,23 @@ object Bench {
     0.25 / dt // array is 256 MB = 0.25 GB
   }
 
+  /** Self-enforced TOTAL wall budget, measured from `main()` entry
+    * (object init is the first statement main touches). Three rounds
+    * of driver benches produced exactly one parsed artifact (r1,
+    * 1281 s): r2 died to an OOM the fork caps have since fixed, and
+    * r3 to the driver's wall clock — the methodology machinery (gate
+    * sleeps, 3-4 attempts/level, extra + halved fallback pairs) ran
+    * long past the driver's patience. Everything time-shaped below
+    * (gate budget, measured attempts, extra pairs, fallback pairs)
+    * now derives from what remains of THIS budget, and the final JSON
+    * always prints as the last line with exit 0 — a self-truncated
+    * run with one honest pair beats a methodologically perfect
+    * rc=124 (round-3 verdict). */
+  private val wallT0 = System.nanoTime()
+  private val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "900").toLong
+  private def elapsedSec: Long = (System.nanoTime() - wallT0) / 1000000000L
+  private def remainingSec: Long = wallBudget - elapsedSec
+
   /** Bounded quiet-window gate. This host's DRAM throttling drifts on
     * a minutes scale (probe ~7 GB/s quiet, 2-3 GB/s degraded — see
     * BASELINE.md) and a level measured in a degraded window is
@@ -136,16 +153,18 @@ object Bench {
     *
     * Known gap (accepted): the probe runs in the parent, but a forked
     * level's measured attempt starts tens of seconds later (fork +
-    * Spark startup + warmup attempt), so a cleared window can lapse
+    * Spark startup + warmup pass), so a cleared window can lapse
     * before measurement. The per-ATTEMPT membw/steal recorded by the
     * child inside the fork is the ground truth for what the attempt
     * actually saw; the gate only biases WHEN measurement starts.
     *
-    * Default budget 600 s (was 1200): r2 spent 1078 s of driver wall
-    * on gate sleeps + pair retries — the gate must not eat the budget
-    * that the measurements themselves need. */
+    * Total gate spend is capped at a quarter of the WALL budget (r3
+    * post-mortem: the fixed 600 s gate budget alone consumed most of
+    * the driver's clock — gate sleeps are insurance, never the main
+    * cost). */
   private val gateGBs = sys.env.getOrElse("SPARK_GRAFT_MEMBW_GATE", "4.0").toDouble
-  private val gateBudgetTotal = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "600").toLong
+  private val gateBudgetTotal = math.min(
+    sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "600").toLong, wallBudget / 4)
   private val gateBudget = new java.util.concurrent.atomic.AtomicLong(gateBudgetTotal)
   /** Per-gate slices scale with the budget in BOTH directions: pure
     * fractions of the total (no large floors), so the first one or
@@ -196,6 +215,12 @@ object Bench {
     * level by default — both levels read the same layout). */
   private def filesPerBatch(layoutCpus: Int): Int =
     math.max(1, layoutCpus / 4) * (8 / tranchesEnv)
+
+  /** Warmup-corpus size: 1/16 of the measured corpus (floor 20k docs)
+    * — enough full-pipeline passes to reach C2-compiled steady state,
+    * small enough that the untimed warmup costs seconds, not the
+    * 200+ s a cold full pass costs. */
+  private def warmDocsOf(streamDocs: Long): Long = math.max(20000L, streamDocs / 16)
 
   /**
    * Synthesize the deterministic fragment corpus + flush files into
@@ -293,6 +318,34 @@ object Bench {
           (own, e, filesPerBatch(cpus))
       }
 
+      // Untimed warmup pass over the small warmup corpus (synthesized
+      // by the parent's synth fork at ~1/16 of the docs): a fresh JVM's
+      // first pass through the full pipeline is JIT + classloading, not
+      // engine throughput — r3 cold attempts ran 235-253 s against
+      // 31-123 s warm, and paying that cold pass on the FULL corpus at
+      // every level is most of what blew the driver's wall clock.
+      // Warming on a small corpus compiles the same code paths for a
+      // few seconds instead. The measured attempts below then start
+      // warm (attempt evidence unchanged: every measured attempt still
+      // records rate/wall/steal/membw).
+      sys.env.get("SPARK_GRAFT_WARM_INDIR").foreach { warmDir =>
+        val tw0 = System.nanoTime()
+        val tableW = new ResultTable(base.resolve("table-warm").toString)
+        val qw = StreamJob.run(
+          StreamJob.fileSource(spark, s"$warmDir/*", maxFilesPerTrigger = mfpt),
+          spec, tableW, base.resolve("ck-warm").toString, s"warm$cpus",
+          watermarkDelay = "10 minutes", sessionGapMs = 60000L,
+          trigger = Trigger.AvailableNow())
+        qw.awaitTermination()
+        // also warm the sink read-back + count path the rate uses
+        if (tableW.snapshots().nonEmpty)
+          tableW.read(spark).filter(!col("doc_id").startsWith("~")).count()
+        rmTree(base.resolve("table-warm"))
+        rmTree(base.resolve("ck-warm"))
+        System.err.println(
+          f"[bench cpus=$cpus warmup] wall=${(System.nanoTime() - tw0) / 1e9}%.1fs")
+      }
+
       // Measure `attempts` runs over the SAME input (fresh checkpoint
       // + sink each time) and keep the best: this VM sees intermittent
       // host-level CPU steal (observed via /proc/stat during runs)
@@ -388,6 +441,7 @@ object Bench {
     def once(): Option[Long] =
       forkSelf(Map(
         "SPARK_GRAFT_SYNTH_DIR" -> inDir,
+        "SPARK_GRAFT_SYNTH_WARM" -> s"$inDir-warm",
         "SPARK_GRAFT_STREAM_DOCS" -> docs.toString,
         "SPARK_GRAFT_SYNTH_LAYOUT" -> layoutCpus.toString,
         "SPARK_GRAFT_SYNTH_CPUS" -> synthCpus.toString))
@@ -398,6 +452,7 @@ object Bench {
     once().orElse {
       System.err.println("[bench] retrying dead synth fork")
       rmTree(java.nio.file.Paths.get(inDir))
+      rmTree(java.nio.file.Paths.get(s"$inDir-warm"))
       Files.createDirectories(java.nio.file.Paths.get(inDir))
       once()
     }.getOrElse(throw new IllegalStateException(
@@ -466,9 +521,17 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SYNTH_DIR").foreach { dir =>
       val spark = session(sys.env.getOrElse("SPARK_GRAFT_SYNTH_CPUS", cpus.toString).toInt)
       val expected =
-        try synthesize(spark, streamDocs, dir,
-          layoutCpus = sys.env("SPARK_GRAFT_SYNTH_LAYOUT").toInt)
-        finally spark.stop()
+        try {
+          val layout = sys.env("SPARK_GRAFT_SYNTH_LAYOUT").toInt
+          val e = synthesize(spark, streamDocs, dir, layoutCpus = layout)
+          // small warmup corpus alongside (own directory — the level
+          // glob reads `$inDir/*` and must not see it): the forked
+          // levels pay their JIT warmup here instead of on a full pass
+          sys.env.get("SPARK_GRAFT_SYNTH_WARM").foreach { warmDir =>
+            synthesize(spark, warmDocsOf(streamDocs), warmDir, layoutCpus = layout)
+          }
+          e
+        } finally spark.stop()
       println(s"BENCHSYNTH $expected")
       return
     }
@@ -564,8 +627,15 @@ object Bench {
     // left rc:1/parsed:null), the round still has a parseable line
     // with every per-query number. A healthy run prints the full
     // line (queries + stream) afterwards, superseding this one.
+    // Distinct metric name (ADVICE r3): a first-match consumer must
+    // never confuse this flush with the final "total" artifact.
     if (results.nonEmpty)
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir","partial":true}""")
+      println(s"""{"metric":"queries_partial","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir","partial":true}""")
+    // wall-budget bookkeeping for the artifact: which stages the
+    // self-enforced budget skipped, and any error the stream phase
+    // swallowed (the final JSON must print and exit 0 regardless)
+    var skippedStages: List[String] = Nil
+    var streamError: Option[String] = None
     val (rateN, rowsN, okN, attN, rate4N, rows4N, ok4N, att4N, pairsJson, eff, bestCpusN, credibleRun) =
       sys.env.get("SPARK_GRAFT_ONLY") match {
         case Some(c) =>
@@ -581,25 +651,50 @@ object Bench {
           // (per-child re-synthesis used to dominate the bench wall,
           // and parent-side synthesis left a corpus-sized RSS alive
           // for the whole stream phase — half of the r2 OOM)
-          val inDir = Files.createTempDirectory(ioRoot, "in-").toString
-          val expected =
-            forkSynth(inDir, streamDocs, layoutCpus = baseCpus * 4, synthCpus = cpus)
-          val sharedEnv = Map(
-            "SPARK_GRAFT_INDIR" -> inDir,
-            "SPARK_GRAFT_EXPECTED" -> expected.toString,
-            "SPARK_GRAFT_MFPT" -> filesPerBatch(baseCpus * 4).toString,
-            // 2 attempts per fork (1st is the fresh-JVM warmup) unless
-            // the caller pinned a count
-            "SPARK_GRAFT_ATTEMPTS" -> sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "2"))
-          // a transient fork death (e.g. ambient memory pressure
-          // OOM-killing the child JVM) must not zero the round's
-          // artifact — retry a dead level once
-          def level(c: Int): (Double, Long, Boolean, String, Long) = {
-            val first = forkLevel(c, sharedEnv)
-            if (first._1 > 0.0) first
-            else { System.err.println(s"[bench] retrying dead fork at $c"); forkLevel(c, sharedEnv) }
+          final case class PairRec(
+              cpusN: Int,
+              p1: (Double, Long, Boolean, String, Long),
+              p4: (Double, Long, Boolean, String, Long),
+              g1: (Double, Long), g4: (Double, Long)) {
+            def eff: Double = if (p1._1 > 0) p4._1 / p1._1 / 4.0 else 0.0
           }
+          val pairs = scala.collection.mutable.ArrayBuffer.empty[PairRec]
+          // a pair is CREDIBLE when its ratio is not superlinear
+          // (≤1.02, small noise tolerance): a ratio above that means
+          // the N level ran more throttled than the 4N level and the
+          // pair's ratio says nothing about the engine
+          def credible(e: Double): Boolean = e <= 1.02
+          def bestEff: Double =
+            pairs.map(_.eff).filter(credible).foldLeft(0.0)(math.max)
+          // ANY failure in the measurement machinery (synth fork dead
+          // after retry, tmpfs full, …) must not zero the round's
+          // artifact: whatever pairs completed are selected below and
+          // the final JSON prints with `error` set, exit 0 (r2 rc=1 /
+          // r3 rc=124 both left parsed:null — never again).
+          var cleanupDirs: List[String] = Nil
           try {
+            val inDir = Files.createTempDirectory(ioRoot, "in-").toString
+            val warmDir = s"$inDir-warm"
+            cleanupDirs = List(inDir, warmDir)
+            val expected =
+              forkSynth(inDir, streamDocs, layoutCpus = baseCpus * 4, synthCpus = cpus)
+            val sharedEnv = Map(
+              "SPARK_GRAFT_INDIR" -> inDir,
+              "SPARK_GRAFT_WARM_INDIR" -> warmDir,
+              "SPARK_GRAFT_EXPECTED" -> expected.toString,
+              "SPARK_GRAFT_MFPT" -> filesPerBatch(baseCpus * 4).toString,
+              // 1 measured attempt per fork — the separate small-corpus
+              // warmup pass pays the JIT that attempt 1 used to pay on a
+              // 200+ s full cold pass; override via SPARK_GRAFT_ATTEMPTS
+              "SPARK_GRAFT_ATTEMPTS" -> sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "1"))
+            // a transient fork death (e.g. ambient memory pressure
+            // OOM-killing the child JVM) must not zero the round's
+            // artifact — retry a dead level once
+            def level(c: Int): (Double, Long, Boolean, String, Long) = {
+              val first = forkLevel(c, sharedEnv)
+              if (first._1 > 0.0) first
+              else { System.err.println(s"[bench] retrying dead fork at $c"); forkLevel(c, sharedEnv) }
+            }
             // INTERLEAVED PAIRS: one (4N, N) pair is measured
             // back-to-back, and the reported efficiency is the best
             // single pair's ratio. Rationale: this box's host-side
@@ -610,32 +705,17 @@ object Bench {
             // consistent, so best-of-K applies to pairs, not to levels
             // independently. All attempts of all pairs ride in the
             // JSON; per-pair ratios in `pairs`.
-            val nPairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "2").toInt
-            // bounded degraded-window insurance: if no pair reached the
-            // BASELINE target, measure up to (maxPairs - nPairs) extra
-            // pairs — the host's DRAM throttling drifts on a minutes
-            // scale, so one more pair is one more chance to land both
-            // levels in the same quiet window. Bounded and symmetric
-            // (a pair is always measured whole); every attempt of every
-            // pair stays in the artifact either way.
+            //
+            // Default 1 pair: anything beyond the first is degraded-
+            // window insurance, and whether it runs is now the WALL
+            // BUDGET's decision (each extra stage runs only if the
+            // remaining budget covers the measured cost of pair 1) —
+            // one honest pair in a parsed artifact beats two pairs in
+            // an rc=124 log (round-3 verdict).
+            val nPairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "1").toInt
             val maxPairs = sys.env.getOrElse("SPARK_GRAFT_MAX_PAIRS",
               (nPairs + 1).toString).toInt
             val target = 0.8
-            final case class PairRec(
-                cpusN: Int,
-                p1: (Double, Long, Boolean, String, Long),
-                p4: (Double, Long, Boolean, String, Long),
-                g1: (Double, Long), g4: (Double, Long)) {
-              def eff: Double = if (p1._1 > 0) p4._1 / p1._1 / 4.0 else 0.0
-            }
-            val pairs = scala.collection.mutable.ArrayBuffer.empty[PairRec]
-            // a pair is CREDIBLE when its ratio is not superlinear
-            // (≤1.02, small noise tolerance): a ratio above that means
-            // the N level ran more throttled than the 4N level and the
-            // pair's ratio says nothing about the engine
-            def credible(e: Double): Boolean = e <= 1.02
-            def bestEff: Double =
-              pairs.map(_.eff).filter(credible).foldLeft(0.0)(math.max)
             def measurePair(tag: String, cN: Int): PairRec = {
               // gate each LEVEL, not just the pair: the degraded↔quiet
               // transition happens on a minutes scale, i.e. between the
@@ -652,10 +732,32 @@ object Bench {
                 f"[bench $tag] cpus=($cN,${cN * 4}) rate_4n=${p4._1}%.1f rate_n=${p1._1}%.1f eff=${rec.eff}%.3f")
               rec
             }
+            // the first pair ALWAYS runs (it is the artifact's whole
+            // point); every later stage must fit the remaining wall
+            // budget, estimated from the measured cost of the most
+            // expensive pair so far (+10% slack). A skipped stage is
+            // recorded in the artifact as `skipped`.
+            var pairCostSec = 0L
+            def affordable(stage: String): Boolean = {
+              val ok = pairCostSec == 0 || remainingSec > pairCostSec * 11 / 10
+              if (!ok) {
+                skippedStages ::= stage
+                System.err.println(s"[bench budget] skipping $stage " +
+                  s"(remaining=${remainingSec}s < pair cost ~${pairCostSec}s)")
+              }
+              ok
+            }
+            def timedPair(tag: String, cN: Int): Unit = {
+              val t = elapsedSec
+              pairs += measurePair(tag, cN)
+              pairCostSec = math.max(pairCostSec, elapsedSec - t)
+            }
             var k = 0
-            while (k < nPairs || (k < maxPairs && bestEff < target)) {
+            var budgetStop = false
+            while (!budgetStop && (k < nPairs || (k < maxPairs && bestEff < target))) {
               k += 1
-              pairs += measurePair(s"pair$k", baseCpus)
+              if (k == 1 || affordable(s"pair$k")) timedPair(s"pair$k", baseCpus)
+              else budgetStop = true
             }
             // Degraded-window fallback pairing (one bounded extra
             // pair): under host DRAM throttling the absolute ceiling
@@ -666,18 +768,29 @@ object Bench {
             // Halving the pairing keeps both levels under the
             // throttled ceiling; still N vs 4N cores, recorded
             // per-pair as cpus_n so the artifact says which pairing
-            // produced the number.
+            // produced the number. Budget-gated like every non-first
+            // stage.
             if (bestEff < target && baseCpus >= 2 &&
-                !sys.env.contains("SPARK_GRAFT_NO_HALVED_FALLBACK")) {
-              pairs += measurePair("pair-halved", baseCpus / 2)
+                !sys.env.contains("SPARK_GRAFT_NO_HALVED_FALLBACK") &&
+                affordable("pair-halved")) {
+              timedPair("pair-halved", baseCpus / 2)
             }
-            // select among credible pairs; if EVERY pair came out
-            // superlinear (all-degraded run), the measurements say
-            // nothing about the engine — report efficiency 0.0 with
-            // credible:false rather than manufacturing a capped-1.0
-            // headline from self-declared meaningless ratios (r2
-            // advice). The best pair's rates still ride along as the
-            // run's throughput evidence.
+          } catch {
+            case t: Throwable =>
+              streamError = Some(
+                t.toString.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300))
+              System.err.println(s"[bench] stream phase aborted (artifact still prints): $t")
+          } finally cleanupDirs.foreach(d => rmTree(java.nio.file.Paths.get(d)))
+          // select among credible pairs; if EVERY pair came out
+          // superlinear (all-degraded run), the measurements say
+          // nothing about the engine — report efficiency 0.0 with
+          // credible:false rather than manufacturing a capped-1.0
+          // headline from self-declared meaningless ratios (r2
+          // advice). The best pair's rates still ride along as the
+          // run's throughput evidence.
+          if (pairs.isEmpty) {
+            (0.0, 0L, false, "[]", 0.0, 0L, false, "[]", "[]", 0.0, baseCpus, false)
+          } else {
             val credPairs = pairs.filter(r => credible(r.eff))
             val isCred = credPairs.nonEmpty
             val best = (if (isCred) credPairs else pairs).maxBy(_.eff)
@@ -713,7 +826,7 @@ object Bench {
             // ratios stay in `pairs` as evidence.
             (r1, n1, ok1, allA1, r4, n4, ok4, allA4, pj,
               if (isCred) math.min(best.eff, 1.0) else 0.0, best.cpusN, isCred)
-          } finally rmTree(java.nio.file.Paths.get(inDir))
+          }
       }
 
     // per-attempt rates + /proc/stat steal% ride along so the judge
@@ -722,11 +835,29 @@ object Bench {
     // `credible` says whether any pair's ratio was non-superlinear
     // (r2 advice: both were previously only derivable from `pairs`)
     val pairing = if (bestCpusN != baseCpus) "halved" else "standard"
+    // rows_per_sec_vs_reference: the reference's only published
+    // sustained figure is ≈159 pages/s (reference README.md:16 — 4M
+    // pages in ≈7 h); the ratio against the 4N sustained rate rides in
+    // the artifact so the baseline comparison stops living in prose
+    // (round-3 verdict #6). Caveat unchanged: the physical task
+    // differs (no network fetch), so the honest reading is "Spark
+    // overhead does not eat the win".
+    val vsRef = rate4N / 159.0
+    // truncation bookkeeping: `truncated` is true when the
+    // self-enforced wall budget skipped stages or the stream phase
+    // aborted — the artifact says what a longer run would have added
+    val skippedJson = skippedStages.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val truncated = skippedStages.nonEmpty || streamError.nonEmpty
+    val errJson = streamError.map(e => s""","error":"$e"""").getOrElse("")
     val stream =
       f"""{"docs":$streamDocs,"rows":$rowsN,"cpus_n":$bestCpusN,"cpus_4n":${bestCpusN * 4},""" +
       f""""rate_n":$rateN%.1f,"rate_4n":$rate4N%.1f,"scaling_efficiency":$eff%.3f,""" +
+      f""""rows_per_sec_vs_reference":$vsRef%.1f,""" +
       s""""credible":$credibleRun,"pairing":"$pairing",""" +
-      s""""verified":${okN && ok4N && rowsN == rows4N},"pairs":$pairsJson,""" +
+      s""""verified":${okN && ok4N && rowsN == rows4N},""" +
+      s""""wall_budget_sec":$wallBudget,"elapsed_sec":$elapsedSec,""" +
+      s""""truncated":$truncated,"skipped":$skippedJson$errJson,""" +
+      s""""pairs":$pairsJson,""" +
       s""""attempts_n":$attN,"attempts_4n":$att4N}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_env":$queryEnv,"sf":"$sfDir","stream":$stream}""")
   }

@@ -43,6 +43,11 @@ object SparkEntry {
     "token_pattern" -> (TokenEngine.tokenPattern _),
     "details_join" -> (TokenEngine.detailsJoin _),
     "paginate_crawl" -> (TokenEngine.paginateCrawl _),
+    // streaming folds' batch images (§2.9 pacing, S3/J2 assembly) and
+    // explicit skew handling — all DuckDB-checked (round-3 verdict)
+    "pacing_schedule" -> (TokenEngine.pacingSchedule _),
+    "session_stitch" -> (TokenEngine.sessionStitch _),
+    "q_skew_salted" -> (TokenEngine.skewSalted _),
     // training-data pipeline (dedup / similarity / text analysis /
     // multimodal) — SQL-expressible ones DuckDB-checked, LSH/winnow/
     // multimodal rows-only + PipelineSpec
@@ -301,6 +306,39 @@ object SparkEntry {
         |  md5(string_agg(w.key, '|' ORDER BY w.page_idx)) AS chain_md5
         |FROM walk w JOIN pages p ON p.key = w.key
         |GROUP BY w.origin ORDER BY w.origin""".stripMargin,
+    // the politeness-pacing fold replayed via its Lindley closed form:
+    // sched_i = i·delay + running_max(et_j − j·delay) — an independent
+    // derivation of the recurrence the Spark side folds directly
+    "pacing_schedule" ->
+      """WITH p AS (SELECT doc_id, source, event_ms, delay_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY event_ms, doc_id) - 1 AS rn
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/pacing_rows/*.parquet'))
+        |SELECT doc_id, source, event_ms,
+        |  CAST(rn * delay_ms + MAX(event_ms - rn * delay_ms) OVER (
+        |    PARTITION BY source ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sched_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // fragment assembly re-derived independently: first arrival per
+    // (doc_id, page_idx) by window rank, page-order flatten, same
+    // order-sensitive digest the Spark state machine emits
+    "session_stitch" ->
+      """WITH f AS (SELECT * FROM read_parquet('{GRAFT_OUT}/.oracle_tables/stitch_frags/*.parquet')),
+        |fa AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, page_idx
+        |         ORDER BY event_ms, frag_idx) AS rn FROM f),
+        |asm AS (SELECT doc_id, MIN(source) AS source, COUNT(*) AS n_frags,
+        |    flatten(list(tokens ORDER BY page_idx)) AS toks
+        |  FROM fa WHERE rn = 1 GROUP BY doc_id)
+        |SELECT doc_id, source, CAST(n_frags AS INT) AS n_frags,
+        |  CAST(len(toks) AS INT) AS n_tok,
+        |  md5(array_to_string(list_transform(toks, t -> CAST(t AS VARCHAR)), ',')) AS tokens_md5
+        |FROM asm ORDER BY doc_id""".stripMargin,
+    // oracle = plain one-phase GROUP BY; Spark side = two-phase salted
+    // aggregation (equality proves salting changes plans, not results)
+    "q_skew_salted" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+        |  md5(string_agg(doc_id, '|' ORDER BY doc_id)) AS docs_md5
+        |FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet')
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,

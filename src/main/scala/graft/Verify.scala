@@ -31,6 +31,14 @@ object Verify {
       .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/crawl_origins")
     graft.queries.TokenEngine.crawlUniverse(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/crawl_pages")
+    // pacing input rows (the SAME definition pacingSchedule folds
+    // over) — DuckDB replays only the fold, via its closed form
+    graft.queries.TokenEngine.pacingRows(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/pacing_rows")
+    // stitch input fragments (late rows already excluded) — DuckDB
+    // re-derives first-arrival dedup + page-order assembly itself
+    graft.queries.TokenEngine.stitchFragments(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/stitch_frags")
     graft.pipeline.Multimodal
       .synthesize(spark, graft.queries.Pipeline.mediaCount(sfDir))
       .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/media")

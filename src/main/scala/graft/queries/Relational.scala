@@ -33,7 +33,9 @@ object Relational {
     * trips identically on both sides. Each oracleSql twin mirrors the
     * same `CAST(x * 10^scale AS BIGINT)`. */
   private def cents(c: Column, scale: Int): Column =
-    (c * math.pow(10, scale).toLong).cast("bigint")
+    // integer power (ADVICE r3): math.pow goes through double and is
+    // silently inexact past 2^53 — exact for any scale this way
+    (c * Seq.fill(scale)(10L).product).cast("bigint")
 
   /** Hash aggregate with partial (map-side) combine — the reference's
     * result-aggregation analog (SURVEY §2.5 A2). Decimal sums for

@@ -333,6 +333,121 @@ object TokenEngine {
       .select(col("doc_id").as("key"), col("n_tok"), nk.as("next_key"))
   }
 
+  /** Deterministic pacing input rows — one per doc: a seeded event
+    * time within one day of BASE_EPOCH and a per-source politeness
+    * delay derived from the source's last digit (the Crawl-delay-as-
+    * data channel, 100..500 ms). Exported verbatim by Verify as the
+    * oracle's `pacing_rows` table: single definition, the oracle
+    * replays only the FOLD independently. */
+  private[graft] def pacingRows(spark: SparkSession, dir: String): DataFrame =
+    docsFor(spark, dir).select(
+      col("doc_id"), col("source"),
+      (lit(graft.gen.TokenGen.BASE_EPOCH_MS) +
+        pmod(xxhash64(col("doc_id")), lit(86400000L))).as("event_ms"),
+      ((substring(col("source"), -1, 1).cast("long") % 5 + 1) * 100).as("delay_ms"))
+
+  /** §2.9 politeness pacing as a DuckDB-checked driver row — the batch
+    * image of the streaming pacer (reference scrape/scrape.go:699-718):
+    * per-source ordered fold `sched = max(event, prev_sched + delay)`,
+    * computed by the SAME fold the streaming operator runs
+    * (graft.streaming.Pacing.foldSchedule — the determinism recast of
+    * the reference's wall-clock sleep). The oracle replays the
+    * recurrence via its Lindley closed form,
+    * `sched_i = i·delay + running_max(et_j − j·delay)`, a genuinely
+    * independent second derivation. Plan: ONE shuffle on source (the
+    * streaming operator's own partitioning), per-group sort+fold is
+    * O(rows of that source). */
+  def pacingSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pacingRows(spark, dir)
+      .select(col("doc_id"), col("source"), col("event_ms"), col("delay_ms"))
+      .as[(String, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (src: String, it: Iterator[(String, String, Long, Long)]) =>
+        val buf = it.toVector
+        val delay = buf.head._4
+        val sorted = buf.sortBy(r => (r._3, r._1)).map(r => (r._1, r._3))
+        graft.streaming.Pacing.foldSchedule(delay, sorted, Long.MinValue)
+          ._1.iterator.map { case (docId, et, sched) => (docId, src, et, sched) }
+      }
+      .toDF("doc_id", "source", "event_ms", "sched_ms")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Docs count backing [[sessionStitch]]'s fragment stream (same
+    * scaling as docsFor). */
+  private def stitchDocsOf(dir: String): Long = scaleOf(dir) match {
+    case s if s >= 0.1  => 200000L
+    case s if s >= 0.01 => 20000L
+    case _              => 2000L
+  }
+
+  /** The stitch driver row's input: the deterministic fragment stream
+    * minus late rows (the watermark's drop set — pinned separately by
+    * StreamingSpec's late-drop tests), with event_time flattened to ms
+    * for export. Shared verbatim with Verify's `stitch_frags` export. */
+  private[graft] def stitchFragments(spark: SparkSession, dir: String): DataFrame =
+    graft.gen.TokenGen.fragments(spark, stitchDocsOf(dir))
+      .filter(!col("is_late"))
+      .select(col("doc_id"), col("source"), col("page_idx"), col("frag_idx"),
+        unix_millis(col("event_time")).as("event_ms"),
+        col("tokens"))
+
+  /** S3/J2 fragment assembly as a DuckDB-checked driver row — the
+    * batch image of the session stitcher: per-doc, fragments processed
+    * in arrival order (event_ms, frag_idx) through the REAL streaming
+    * state machine (StitchState.addPage first-arrival page dedup +
+    * StitchState.assembled page-order concatenation — reference
+    * scrape.go:138-156 sorted key map / 394-427 paginated assembly),
+    * emitting an order-sensitive digest of the assembled token array.
+    * The oracle re-derives assembly independently: first arrival per
+    * (doc_id, page_idx) by window rank, page-order flatten, same
+    * digest. Plan: ONE shuffle on doc_id — the stitcher's own
+    * partitioning; state per group is O(pages), exactly the streaming
+    * operator's bound. */
+  def sessionStitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stitchFragments(spark, dir)
+      .as[(String, String, Int, Int, Long, Array[Int])]
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        var s = graft.streaming.StitchState.empty
+        it.toVector.sortBy(f => (f._5, f._4)).foreach { f =>
+          s = s.addPage(f._3, f._6, f._2, f._5)
+        }
+        val tokens = s.assembled
+        (docId, s.source, s.pageIds.length, tokens.length, tokens.mkString(","))
+      }
+      .toDF("doc_id", "source", "n_frags", "n_tok", "tok_str")
+      .select(col("doc_id"), col("source"), col("n_frags"), col("n_tok"),
+        md5(col("tok_str")).as("tokens_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Explicit skew handling as a DuckDB-checked driver row (round-3
+    * verdict #5): Skew.saltedAgg's two-phase salted aggregation over
+    * the Zipf-hot `source` key — including a NON-decomposable digest
+    * (per-source sorted doc list) that plain map-side partial agg
+    * cannot compress — must equal the oracle's plain one-phase GROUP
+    * BY. The salt spreads the hot source over 16 reducers
+    * (SkewSpec pins the two-exchange plan shape). */
+  def skewSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Skew.saltedAgg(
+      docsFor(spark, dir),
+      keys = Seq("source"),
+      saltFrom = col("doc_id"),
+      nSalts = 16,
+      partial = Seq(
+        count(lit(1)).as("pc"),
+        sum(col("n_tok")).as("ps"),
+        collect_list(col("doc_id")).as("pl")),
+      merge = Seq(
+        sum(col("pc")).as("n_docs"),
+        sum(col("ps")).cast("bigint").as("total_tok"),
+        md5(array_join(array_sort(flatten(collect_list(col("pl")))), "|"))
+          .as("docs_md5")))
+      .orderBy(col("source"))
+
   /** Token-pattern find-all (the regex analog, P3) — positions of a
     * 2-token subsequence within Names payloads. The generator plants
     * the [100,101] bigram at a seeded rate (TokenGen.docTokens) so the

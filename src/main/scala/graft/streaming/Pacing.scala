@@ -42,17 +42,43 @@ final case class PaceState(lastScheduledMs: Long)
  */
 object Pacing {
 
+  /** The pure pacing fold over ONE source's rows, ms domain:
+    * `sched_i = max(et_i, sched_{i-1} + delay)` (Lindley recurrence).
+    * `sorted` must already be ordered by (event_ms, doc_id); `last0`
+    * is the previous slice's final schedule (Long.MinValue = none).
+    * Returns the (doc_id, event_ms, sched_ms) rows plus the new fold
+    * state. SINGLE DEFINITION shared by the streaming operator
+    * ([[update]]) and the batch image
+    * (graft.queries.TokenEngine.pacingSchedule), so the DuckDB-checked
+    * driver row pins exactly the fold the stream runs. */
+  def foldSchedule(
+      delay: Long,
+      sorted: Seq[(String, Long)],
+      last0: Long): (Seq[(String, Long, Long)], Long) = {
+    var last = last0
+    val out = sorted.map { case (docId, et) =>
+      val sched = math.max(et, if (last == Long.MinValue) et else last + delay)
+      last = sched
+      (docId, et, sched)
+    }
+    (out, last)
+  }
+
   def update(delayMs: Long, perSourceDelayMs: Map[String, Long])(
       source: String,
       rows: Iterator[(String, String, Timestamp)],
       state: GroupState[PaceState]): Iterator[PacedRow] = {
     val delay = perSourceDelayMs.getOrElse(source, delayMs)
+    // in-memory bound note: one source's whole micro-batch slice is
+    // buffered and sorted here — per-source pacing is inherently
+    // serial (the reference's same-domain sleep) and state is O(1),
+    // so the hot task's buffer is O(its batch share); bound it at the
+    // SOURCE via maxFilesPerTrigger/maxOffsetsPerTrigger, not here.
     val buf = rows.toVector.sortBy(r => (r._3.getTime, r._1))
-    var last = state.getOption.map(_.lastScheduledMs).getOrElse(Long.MinValue)
-    val out = buf.zipWithIndex.map { case ((docId, src, et), i) =>
-      val sched = math.max(et.getTime, if (last == Long.MinValue) et.getTime else last + delay)
-      last = sched
-      PacedRow(docId, src, et, new Timestamp(sched), i)
+    val last0 = state.getOption.map(_.lastScheduledMs).getOrElse(Long.MinValue)
+    val (folded, last) = foldSchedule(delay, buf.map(r => (r._1, r._3.getTime)), last0)
+    val out = folded.zipWithIndex.map { case ((docId, et, sched), i) =>
+      PacedRow(docId, source, new Timestamp(et), new Timestamp(sched), i)
     }
     state.update(PaceState(last))
     out.iterator
@@ -62,7 +88,12 @@ object Pacing {
     * `perSourceDelayMs` overrides the default per source — the robots
     * Crawl-delay directive channel ([[RobotsGate.crawlDelays]]);
     * absent sources use `delayMs` (the reference's FetchDelay
-    * fallback, scrape/scrape.go:702-709). */
+    * fallback, scrape/scrape.go:702-709).
+    *
+    * Fidelity note (ADVICE r3): the reference RETRIEVES Crawl-delay
+    * but never applies it to pacing (fetch/robotstxt.go getCrawlDelay
+    * comment — only FetchDelay/RandomizeFetchDelay throttle). Honoring
+    * it here is an intentional, more-polite EXTENSION, not parity. */
   def pace(
       rows: Dataset[(String, String, Timestamp)],
       delayMs: Long = 500L,

@@ -81,9 +81,14 @@ object RobotsGate {
       rules: DataFrame,
       sourceCol: String = "source",
       pathCol: String = "doc_id"): DataFrame = {
+    // one rule row per source is the join's correctness precondition:
+    // a duplicated rules row would silently duplicate every allowed
+    // frontier row through the left join (ADVICE r3) — enforce it
+    // here instead of trusting every caller to .distinct() first
     val r = rules.select(
       col("source").as("__rsource"), col("status").as("__status"),
       col("allows").as("__allows"), col("disallows").as("__disallows"))
+      .dropDuplicates("__rsource")
     frontier
       .join(broadcast(r), frontier(sourceCol) === col("__rsource"), "left")
       .filter(verdict(frontier(pathCol)))

@@ -247,6 +247,32 @@ class PipelineSpec extends SparkSuite {
     assert(stats.map(_.getLong(1)).sum == 50)
   }
 
+  test("multimodal: JDK decoder decodes real PNG and WAV payloads (golden values)") {
+    // 2x2 PNG: white, black, pure red, pure blue — known luma values
+    val png = Multimodal.encodePng(2, 2, Array(0xFFFFFF, 0x000000, 0xFF0000, 0x0000FF))
+    assert(png.take(8).toSeq ==
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      "payload is not a real PNG (magic mismatch)")
+    val px = Multimodal.JdkDecoder.decodePixels(png)
+    assert(px.length == 4)
+    assert(math.abs(px(0) - 1.0f) < 1e-3 && px(1) == 0.0f &&
+      math.abs(px(2) - 0.299f) < 1e-3 && math.abs(px(3) - 0.114f) < 1e-3,
+      s"decoded luma off: ${px.toSeq}")
+    // WAV with known PCM16 samples
+    val wav = Multimodal.encodeWav(16000, Array[Short](0, 16384, -32768, 32767))
+    assert(wav.length == 44 + 8)
+    val s = Multimodal.JdkDecoder.decodeSamples(wav)
+    assert(s.toSeq == Seq(0.0f, 0.5f, -1.0f, 32767 / 32768.0f),
+      s"decoded samples off: ${s.toSeq}")
+    // decode() folds the DECODED signal (samples), not payload bytes
+    val feat = Multimodal.JdkDecoder.decode("audio", wav, 2)
+    assert(math.abs(feat(0) - (0.0f + -1.0f)) < 1e-6 &&
+      math.abs(feat(1) - (0.5f + 32767 / 32768.0f)) < 1e-6)
+    // and the image path folds pixels: 4 pixels into dim=4 = the lumas
+    val ifeat = Multimodal.JdkDecoder.decode("image", png, 4)
+    assert(ifeat.toSeq == px.toSeq)
+  }
+
   test("multimodal: pluggable decoder swaps in (kind-dispatched, per-partition init)") {
     // the structural claim behind the stub: a real codec-backed
     // MediaDecoder drops in with zero pipeline changes

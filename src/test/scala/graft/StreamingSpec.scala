@@ -270,7 +270,7 @@ class StreamingSpec extends SparkSuite {
     // replayed) must repopulate it on streaming open from the commit
     // log, not stream empty while read() sees the commits
     val pub = java.nio.file.Paths.get(s"$dir/pub")
-    Files.list(pub).forEach(p => Files.delete(p))
+    scala.util.Using.resource(Files.list(pub))(_.forEach(p => Files.delete(p)))
     val reopened = new ResultTable(dir)
     val q2 = reopened.readStream(spark, schema)
       .writeStream.format("memory").queryName("snap_t2").outputMode("append").start()
