@@ -420,7 +420,17 @@ object Bench {
     val cmd = new java.util.ArrayList[String]()
     cmd.add(javaBin)
     cmd.addAll(jvmArgs)
-    cmd.add("-Xmx" + sys.env.getOrElse("SPARK_GRAFT_FORK_HEAP", "24g"))
+    val heap = sys.env.getOrElse("SPARK_GRAFT_FORK_HEAP", "24g")
+    cmd.add("-Xmx" + heap)
+    // pre-size AND pre-touch: a fork that grows its heap lazily pays
+    // page faults + GC-expansion thrash INSIDE the measured window —
+    // the small-corpus JIT warmup cannot absorb it because the cost
+    // scales with the full corpus's live set (measured: a
+    // JIT-warmed first full pass still ran ~4x slower than r3's
+    // in-JVM second pass). AlwaysPreTouch moves the whole fault cost
+    // to JVM start, before any measurement.
+    cmd.add("-Xms" + heap)
+    cmd.add("-XX:+AlwaysPreTouch")
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.Bench")
     val pb = new ProcessBuilder(cmd)

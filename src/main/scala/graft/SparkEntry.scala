@@ -47,6 +47,7 @@ object SparkEntry {
     // explicit skew handling — all DuckDB-checked (round-3 verdict)
     "pacing_schedule" -> (TokenEngine.pacingSchedule _),
     "session_stitch" -> (TokenEngine.sessionStitch _),
+    "session_jar" -> (TokenEngine.sessionJarFold _),
     "q_skew_salted" -> (TokenEngine.skewSalted _),
     // training-data pipeline (dedup / similarity / text analysis /
     // multimodal) — SQL-expressible ones DuckDB-checked, LSH/winnow/
@@ -331,6 +332,31 @@ object SparkEntry {
         |  CAST(len(toks) AS INT) AS n_tok,
         |  md5(array_to_string(list_transform(toks, t -> CAST(t AS VARCHAR)), ',')) AS tokens_md5
         |FROM asm ORDER BY doc_id""".stripMargin,
+    // the session-jar fold re-derived independently: TTL segments via
+    // LAG + running sum; the per-event hydrated jar via a correlated
+    // prefix aggregation — last value per cookie name (arg_max over
+    // seq), joined in first-insertion order (MIN(seq) per name within
+    // the segment) — exactly the LinkedHashMap merge semantics
+    "session_jar" ->
+      """WITH e AS (SELECT doc_id, user_token, event_ms, cookie_name, cookie_kv
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/jar_events/*.parquet')),
+        |seqd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_token
+        |    ORDER BY event_ms, doc_id) AS seq FROM e),
+        |gaps AS (SELECT *, CASE WHEN event_ms - LAG(event_ms)
+        |      OVER (PARTITION BY user_token ORDER BY seq) > 7200000
+        |    THEN 1 ELSE 0 END AS brk FROM seqd),
+        |segd AS (SELECT *, SUM(brk) OVER (PARTITION BY user_token
+        |    ORDER BY seq ROWS UNBOUNDED PRECEDING) AS seg FROM gaps)
+        |SELECT s.doc_id, s.user_token, s.event_ms,
+        |  md5(coalesce((
+        |    SELECT string_agg(jar.kv, ';' ORDER BY jar.first_seq)
+        |    FROM (
+        |      SELECT arg_max(p.cookie_kv, p.seq) AS kv, MIN(p.seq) AS first_seq
+        |      FROM segd p
+        |      WHERE p.user_token = s.user_token AND p.seg = s.seg AND p.seq < s.seq
+        |        AND p.cookie_name IS NOT NULL
+        |      GROUP BY p.cookie_name) jar), '')) AS jar_md5
+        |FROM segd s ORDER BY s.doc_id""".stripMargin,
     // oracle = plain one-phase GROUP BY; Spark side = two-phase salted
     // aggregation (equality proves salting changes plans, not results)
     "q_skew_salted" ->

@@ -39,6 +39,10 @@ object Verify {
     // re-derives first-arrival dedup + page-order assembly itself
     graft.queries.TokenEngine.stitchFragments(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/stitch_frags")
+    // session-jar cookie events — DuckDB re-derives the jar fold
+    // (TTL segmentation + per-event prefix aggregation) itself
+    graft.queries.TokenEngine.jarEvents(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/jar_events")
     graft.pipeline.Multimodal
       .synthesize(spark, graft.queries.Pipeline.mediaCount(sfDir))
       .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/media")

@@ -424,6 +424,72 @@ object TokenEngine {
       .orderBy(col("doc_id"))
   }
 
+  /** TTL for the session-jar driver row (2 h): with ~20 events per
+    * user spread over one day, the mean gap ≈ 72 min — a healthy mix
+    * of continued sessions and TTL expiries, so both fold branches are
+    * exercised under the oracle. */
+  private val JAR_TTL_MS = 7200000L
+
+  /** Deterministic cookie-event input for the session-jar row: one
+    * event per doc, hashed onto ~20-events-per-user tokens over a
+    * one-day span; ~6/7 of events set one of 5 cookie names (value =
+    * the doc_id, unique per event), the rest carry none. Exported
+    * verbatim by Verify as `jar_events` — single definition; the
+    * oracle re-derives only the FOLD. */
+  private[graft] def jarEvents(spark: SparkSession, dir: String): DataFrame = {
+    val nUsers = scaleOf(dir) match {
+      case s if s >= 0.1  => 10000L
+      case s if s >= 0.01 => 1000L
+      case _              => 100L
+    }
+    docsFor(spark, dir).select(
+      col("doc_id"),
+      concat(lit("u-"), pmod(xxhash64(col("doc_id"), lit("jar-u")), lit(nUsers)))
+        .as("user_token"),
+      (lit(graft.gen.TokenGen.BASE_EPOCH_MS) +
+        pmod(xxhash64(col("doc_id"), lit("jar-t")), lit(86400000L))).as("event_ms"),
+      when(pmod(xxhash64(col("doc_id"), lit("jar-s")), lit(7)) === 0,
+        lit(null).cast("string"))
+        .otherwise(concat(lit("c"), pmod(xxhash64(col("doc_id"), lit("jar-n")), lit(5))))
+        .as("cookie_name"))
+      .withColumn("cookie_kv",
+        when(col("cookie_name").isNotNull,
+          concat(col("cookie_name"), lit("="), col("doc_id"))))
+  }
+
+  /** S4 cookie/session continuity as a DuckDB-checked driver row — the
+    * batch image of the session jar (reference fetch/service.go:36-106
+    * hydrate→fetch→persist; storage TTL diskv.go:49-81): each event
+    * emitted with a digest of the jar AS HYDRATED before its own
+    * Set-Cookie merge, computed by the SAME fold both streaming state
+    * bindings run (SessionJar.foldEvents: event-time order, last-wins
+    * per cookie name, first-insertion jar order, TTL lapse between
+    * events). The oracle re-derives the fold independently: TTL
+    * segments via LAG + running sum, per-event jar via a correlated
+    * prefix aggregation (arg_max per name, MIN(seq) insertion order).
+    * Plan: ONE shuffle on user_token — the streaming operator's own
+    * partitioning. */
+  def sessionJarFold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jarEvents(spark, dir)
+      .select(col("user_token"), col("doc_id"), col("event_ms"), col("cookie_kv"))
+      .as[(String, String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tok: String, it: Iterator[(String, String, Long, String)]) =>
+        val events = it.map { case (_, docId, ms, kv) =>
+          graft.streaming.CookieEvent(tok, docId, new java.sql.Timestamp(ms),
+            if (kv == null) Array.empty[String] else Array(kv))
+        }
+        graft.streaming.SessionJar.foldEvents(tok, events,
+          graft.streaming.JarState(Array.empty, Long.MinValue), JAR_TTL_MS)._1.iterator
+      }
+      .map(h => (h.doc_id, h.user_token, h.event_time.getTime, h.jar.mkString(";")))
+      .toDF("doc_id", "user_token", "event_ms", "jar_str")
+      .select(col("doc_id"), col("user_token"), col("event_ms"),
+        md5(col("jar_str")).as("jar_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Explicit skew handling as a DuckDB-checked driver row (round-3
     * verdict #5): Skew.saltedAgg's two-phase salted aggregation over
     * the Zipf-hot `source` key — including a NON-decomposable digest

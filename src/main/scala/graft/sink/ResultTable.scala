@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
  *
  * Layout:
  * {{{
- *   root/data/<queryId>-<batchId>/part-*.parquet   (data files)
- *   root/_commits/<queryId>-<batchId>.json         (manifest / commit)
+ *   root/data/<queryId>-<batchId>/part-*.parquet        (data files)
+ *   root/_commits/<seq>.<queryId>-<batchId>.json        (manifest / commit;
+ *       seq = monotonic commit counter allocated by a filesystem CAS)
  * }}}
  *
  * Lineage: [[appendBatch]] stamps every row with `_batch_id` and
@@ -59,63 +60,93 @@ final class ResultTable(val root: String) {
   Files.createDirectories(commitDir)
   Files.createDirectories(pubDir)
 
-  private def commitPath(queryId: String, batchId: Long): Path =
-    commitDir.resolve(s"$queryId-$batchId.json")
-
-  def isCommitted(queryId: String, batchId: Long): Boolean =
-    Files.exists(commitPath(queryId, batchId))
-
   /** Materialized directory listing (Files.list streams hold an open
     * directory fd until closed — a long-lived streaming job commits
     * thousands of micro-batches and would leak one fd per commit). */
   private def listDir(dir: Path): Seq[Path] =
     scala.util.Using.resource(Files.list(dir))(_.iterator().asScala.toSeq)
 
-  /** Commit-order key: (queryId, numeric batchId) — plain name sort
-    * would put batch 10 before batch 2. None for a name without a
-    * trailing `-<number>`: one foreign or corrupt file in `_commits/`
-    * must not break every read of the table. */
+  /** Commit-file name: `<seq 20-digit>.<queryId>-<batchId>.json`. The
+    * monotonic `seq` is allocated through a filesystem CAS
+    * ([[appendBatch]]) and IS the history order — true arrival order
+    * even when several writers (distinct queryIds) share the table,
+    * the analog of Iceberg's snapshot-id chain from the catalog's CAS
+    * swap. (Key-order history was exact only for a single writer —
+    * the round-3 scope note this closes.) */
+  private def commitFileName(seq: Long, key: String): String =
+    f"$seq%020d.$key.json"
+
+  /** One committed manifest: (seq, commit key, file name). */
+  private final case class CommitEntry(seq: Long, key: String, fileName: String)
+
+  /** Sanity shape of a commit key: `<queryId>-<numeric batchId>`. */
   private def commitKey(name: String): Option[(String, Long)] = {
     val i = name.lastIndexOf('-')
     if (i <= 0 || i == name.length - 1) None
     else name.substring(i + 1).toLongOption.map((name.substring(0, i), _))
   }
 
-  /** Committed snapshots in commit order — the table's history
-    * (Iceberg `table.snapshots()` analog). Each element is the commit
-    * key `<queryId>-<batchId>`. Unparseable commit names are skipped
-    * with a warning, not fatal. */
-  def snapshots(): Seq[String] = {
-    val names = listDir(commitDir)
+  /** All committed manifests in seq (arrival) order. A foreign or
+    * corrupt file in `_commits/` is skipped with a warning, not fatal.
+    * If the same key ever carries two seqs (two same-key committers
+    * racing through the CAS window — misuse, but tolerated), the
+    * LOWEST seq wins deterministically on the read side.
+    *
+    * Cost: one O(#commits) directory listing — the same per-commit
+    * catalog read Iceberg pays; snapshot expiry/compaction of an
+    * unbounded log is deployment scope. */
+  private def commitEntries(): Seq[CommitEntry] = {
+    val parsed = listDir(commitDir)
       .filter(_.toString.endsWith(".json"))
-      .map(_.getFileName.toString.stripSuffix(".json"))
-    val (ok, bad) = names.partition(n => commitKey(n).isDefined)
-    bad.foreach(n => System.err.println(
-      s"[ResultTable] skipping unparseable commit name: $n.json"))
-    ok.sortBy(n => commitKey(n).get)
+      .map(_.getFileName.toString)
+      .flatMap { fn =>
+        val n = fn.stripSuffix(".json")
+        val i = n.indexOf('.')
+        val e =
+          if (i <= 0) None
+          else for {
+            seq <- n.substring(0, i).toLongOption
+            key = n.substring(i + 1)
+            _ <- commitKey(key)
+          } yield CommitEntry(seq, key, fn)
+        if (e.isEmpty && !fn.startsWith("."))
+          System.err.println(s"[ResultTable] skipping unparseable commit name: $fn")
+        e
+      }
+    parsed.groupBy(_.key).values.map(_.minBy(_.seq)).toSeq.sortBy(_.seq)
   }
 
+  def isCommitted(queryId: String, batchId: Long): Boolean =
+    commitEntries().exists(_.key == s"$queryId-$batchId")
+
+  /** Committed snapshots in COMMIT order (the seq chain) — the table's
+    * history (Iceberg `table.snapshots()` analog). Each element is the
+    * commit key `<queryId>-<batchId>`. */
+  def snapshots(): Seq[String] = commitEntries().map(_.key)
+
   /** All data files referenced by committed manifests, optionally
-    * truncated to the history prefix ending at `asOf` (inclusive). */
+    * truncated to the history prefix ending at `asOf` (inclusive).
+    * The prefix is positional in seq order, so a multi-writer history
+    * cuts at the actual commit boundary, not at key order. */
   def committedFiles(asOf: Option[String] = None): Seq[String] = {
-    val names = snapshots()
+    val entries = commitEntries()
     val visible = asOf match {
       case Some(snap) =>
         // Iceberg's VERSION AS OF errors on an unknown snapshot; a
         // silent prefix for a typo'd name would be a wrong answer
-        if (!names.contains(snap))
+        val idx = entries.indexWhere(_.key == snap)
+        if (idx < 0)
           throw new IllegalArgumentException(
-            s"unknown snapshot '$snap'; history: ${names.mkString(", ")}")
-        val k = commitKey(snap).get
-        names.filter(n => implicitly[Ordering[(String, Long)]].lteq(commitKey(n).get, k))
-      case None => names
+            s"unknown snapshot '$snap'; history: ${entries.map(_.key).mkString(", ")}")
+        entries.take(idx + 1)
+      case None => entries
     }
-    visible.flatMap(manifestFiles)
+    visible.flatMap(e => manifestFiles(e.fileName))
   }
 
-  /** Data files recorded in one commit's manifest. */
-  private def manifestFiles(name: String): Seq[String] =
-    Files.readString(commitDir.resolve(s"$name.json"))
+  /** Data files recorded in one commit's manifest (by file name). */
+  private def manifestFiles(fileName: String): Seq[String] =
+    Files.readString(commitDir.resolve(fileName))
       .linesIterator.filter(_.startsWith("file:")).map(_.drop(5)).toSeq
 
   /** Snapshot read: union of committed data files only. */
@@ -127,12 +158,12 @@ final class ResultTable(val root: String) {
     * the history, so time travel is just manifest truncation; no data
     * file is ever rewritten.
     *
-    * Scope: history order is (queryId, batchId) — exact for the normal
-    * case of one streaming query owning the table. Commits do not
-    * carry a cross-writer timestamp, so for a multi-writer table the
-    * prefix cut interleaves writers in key order, not arrival order
-    * (real Iceberg orders by snapshot id from the catalog's CAS chain;
-    * swap it in for multi-writer history, SURVEY §7.0). */
+    * History order is the monotonic commit seq (allocated per commit
+    * through the filesystem CAS in [[appendBatch]]), so the prefix cut
+    * is true arrival order even when several writers with distinct
+    * queryIds share the table — the analog of Iceberg ordering by
+    * snapshot id from the catalog's CAS chain. (Closes the round-3
+    * single-writer scope note.) */
   def readAsOf(spark: SparkSession, asOf: Option[String]): DataFrame = {
     val files = committedFiles(asOf)
     if (files.isEmpty)
@@ -162,7 +193,7 @@ final class ResultTable(val root: String) {
     // not be silently empty to streaming readers while read() sees
     // its commits — publish is idempotent, so republishing every
     // snapshot on open is cheap (link-exists fast path)
-    snapshots().foreach(publish)
+    commitEntries().foreach(publishEntry)
     spark.readStream.schema(schema).parquet(pubDir.toString)
   }
 
@@ -171,9 +202,12 @@ final class ResultTable(val root: String) {
     * repaired on replay: died before the commit file → no links exist
     * and the rewrite republishes; died mid-publication → the
     * `isCommitted` fast path re-runs publish from the manifest. */
-  private def publish(name: String): Unit =
-    manifestFiles(name).zipWithIndex.foreach { case (f, i) =>
-      val link = pubDir.resolve(s"$name-$i.parquet")
+  private def publish(key: String): Unit =
+    commitEntries().find(_.key == key).foreach(publishEntry)
+
+  private def publishEntry(e: CommitEntry): Unit =
+    manifestFiles(e.fileName).zipWithIndex.foreach { case (f, i) =>
+      val link = pubDir.resolve(s"${e.key}-$i.parquet")
       if (!Files.exists(link))
         try Files.createLink(link, Paths.get(f))
         catch {
@@ -194,13 +228,23 @@ final class ResultTable(val root: String) {
    * Data files are written BEFORE the commit file; a crash between the
    * two leaves invisible orphans (cleaned by re-commit overwrite), so
    * readers never observe a partial batch.
+   *
+   * The commit itself is a filesystem CAS on the monotonic seq: the
+   * manifest is hardlinked onto the next seq-named commit file —
+   * `link(2)` fails with EEXIST atomically (unlike `rename(2)`, which
+   * silently REPLACES on POSIX and can lose a concurrent writer's
+   * commit) — and a lost race re-reads the log and retries at the new
+   * tail. This is Iceberg's optimistic-concurrency commit protocol on
+   * a filesystem: multi-writer history lands in true commit order.
    */
   def appendBatch(queryId: String)(df: DataFrame, batchId: Long): Unit = {
-    if (isCommitted(queryId, batchId)) {
-      publish(s"$queryId-$batchId") // repair a crash between commit and publication
-      return                    // idempotent replay skip
+    val key = s"$queryId-$batchId"
+    val existing = commitEntries()
+    if (existing.exists(_.key == key)) {
+      publish(key) // repair a crash between commit and publication
+      return       // idempotent replay skip
     }
-    val target = dataDir.resolve(s"$queryId-$batchId")
+    val target = dataDir.resolve(key)
     df
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_part_id", spark_partition_id())
@@ -210,14 +254,25 @@ final class ResultTable(val root: String) {
     val manifest =
       (Seq(s"queryId:$queryId", s"batchId:$batchId") ++ files.map("file:" + _))
         .mkString("\n")
-    val tmp = Files.createTempFile(commitDir, s".$queryId-$batchId", ".tmp")
+    val tmp = Files.createTempFile(commitDir, s".$key", ".tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
-    try
-      Files.move(tmp, commitPath(queryId, batchId), StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      // concurrent/replayed committer won the race — fine, identical content
-      case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+    var seq = existing.map(_.seq).maxOption.getOrElse(0L) + 1
+    var done = false
+    while (!done) {
+      try {
+        Files.createLink(commitDir.resolve(commitFileName(seq, key)), tmp)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the CAS: either another writer took this seq (retry at
+          // the new tail) or a same-key replay already committed (stop
+          // — identical content, lowest seq wins on the read side)
+          val entries = commitEntries()
+          if (entries.exists(_.key == key)) done = true
+          else seq = math.max(seq + 1, entries.map(_.seq).maxOption.getOrElse(0L) + 1)
+      }
     }
-    publish(s"$queryId-$batchId")
+    Files.deleteIfExists(tmp)
+    publish(key)
   }
 }

@@ -236,6 +236,33 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("multi-writer history: snapshots in commit order, not key order; readAsOf cuts at the commit boundary") {
+    val dir = Files.createTempDirectory("graft-mw").toString
+    // two independent writers (distinct queryIds) sharing one table —
+    // e.g. two streaming queries landing in the same result table
+    val w1 = new ResultTable(dir)
+    val w2 = new ResultTable(dir)
+    val one = Seq(("a", 1)).toDF("k", "v")
+    w1.appendBatch("w1")(one, 0L)
+    w2.appendBatch("w2")(one, 0L)
+    w1.appendBatch("w1")(one, 1L)
+    w2.appendBatch("w2")(one, 1L)
+    // key order would be [w1-0, w1-1, w2-0, w2-1]; commit order is the
+    // interleaving that actually happened (the monotonic seq chain)
+    assert(w1.snapshots() == Seq("w1-0", "w2-0", "w1-1", "w2-1"),
+      s"history not in commit order: ${w1.snapshots()}")
+    // both instances read the same seq chain
+    assert(w2.snapshots() == w1.snapshots())
+    // a time-travel cut at w2's first commit must include w1-0 and
+    // w2-0 but NOT w1-1 (which key-order truncation would include)
+    val cut = w1.readAsOf(spark, Some("w2-0"))
+    assert(cut.count() == 2, s"cut at w2-0 read ${cut.count()} rows")
+    // replay through EITHER instance stays a no-op (same-key dedup
+    // reads the shared log, not instance state)
+    w2.appendBatch("w1")(one, 0L)
+    assert(w1.read(spark).count() == 4 && w1.snapshots().length == 4)
+  }
+
   test("snapshot-aware streaming read: orphaned uncommitted batch invisible; foreign commit name skipped") {
     val dir = Files.createTempDirectory("graft-snap").toString
     val table = new ResultTable(dir)
