@@ -133,7 +133,7 @@ object Bench {
     * run with one honest pair beats a methodologically perfect
     * rc=124 (round-3 verdict). */
   private val wallT0 = System.nanoTime()
-  private val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "900").toLong
+  private val wallBudget = sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "1200").toLong
   private def elapsedSec: Long = (System.nanoTime() - wallT0) / 1000000000L
   private def remainingSec: Long = wallBudget - elapsedSec
 
@@ -158,13 +158,15 @@ object Bench {
     * child inside the fork is the ground truth for what the attempt
     * actually saw; the gate only biases WHEN measurement starts.
     *
-    * Total gate spend is capped at a quarter of the WALL budget (r3
+    * Total gate spend is capped at an eighth of the WALL budget (r3
     * post-mortem: the fixed 600 s gate budget alone consumed most of
-    * the driver's clock — gate sleeps are insurance, never the main
-    * cost). */
+    * the driver's clock; in a PERMANENTLY throttled window — every
+    * probe of a whole round-4 day read 2.0-2.8 GB/s — each gate burns
+    * its full cap for nothing, so the caps must be cheap relative to
+    * the measurements they protect). */
   private val gateGBs = sys.env.getOrElse("SPARK_GRAFT_MEMBW_GATE", "4.0").toDouble
   private val gateBudgetTotal = math.min(
-    sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "600").toLong, wallBudget / 4)
+    sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "600").toLong, wallBudget / 8)
   private val gateBudget = new java.util.concurrent.atomic.AtomicLong(gateBudgetTotal)
   /** Per-gate slices scale with the budget in BOTH directions: pure
     * fractions of the total (no large floors), so the first one or
@@ -409,7 +411,7 @@ object Bench {
     * shuffles + an in-memory state store, which 24g covers at the
     * default corpus (synthesis spills its cache past the cap to
     * MEMORY_AND_DISK, so it is bounded too). */
-  private def forkSelf(env: Map[String, String]): String = {
+  private def forkSelf(env: Map[String, String], pretouch: Boolean = false): String = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
@@ -422,15 +424,20 @@ object Bench {
     cmd.addAll(jvmArgs)
     val heap = sys.env.getOrElse("SPARK_GRAFT_FORK_HEAP", "24g")
     cmd.add("-Xmx" + heap)
-    // pre-size AND pre-touch: a fork that grows its heap lazily pays
-    // page faults + GC-expansion thrash INSIDE the measured window —
-    // the small-corpus JIT warmup cannot absorb it because the cost
-    // scales with the full corpus's live set (measured: a
-    // JIT-warmed first full pass still ran ~4x slower than r3's
-    // in-JVM second pass). AlwaysPreTouch moves the whole fault cost
-    // to JVM start, before any measurement.
-    cmd.add("-Xms" + heap)
-    cmd.add("-XX:+AlwaysPreTouch")
+    // Pre-size AND pre-touch MEASURED forks only: a fork that grows
+    // its heap lazily pays page faults + GC-expansion thrash INSIDE
+    // the measured window — the small-corpus JIT warmup cannot absorb
+    // it because the cost scales with the full corpus's live set
+    // (measured on this box: a JIT-warmed first full pass ran 141 s
+    // vs 53 s with a pre-touched heap, same throttled window).
+    // AlwaysPreTouch moves the whole fault cost to JVM start, before
+    // any measurement; the synth fork skips it (nothing measured
+    // there, and zeroing 24 GB under the host's DRAM throttle is
+    // tens of wall seconds for nothing).
+    if (pretouch) {
+      cmd.add("-Xms" + heap)
+      cmd.add("-XX:+AlwaysPreTouch")
+    }
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.Bench")
     val pb = new ProcessBuilder(cmd)
@@ -448,10 +455,11 @@ object Bench {
     * corpus-sized RSS alive for the whole stream phase); parse the
     * expected-rows count from its BENCHSYNTH line. */
   private def forkSynth(inDir: String, docs: Long, layoutCpus: Int, synthCpus: Int): Long = {
+    val warmDir = java.nio.file.Paths.get(inDir).resolveSibling("warm").toString
     def once(): Option[Long] =
       forkSelf(Map(
         "SPARK_GRAFT_SYNTH_DIR" -> inDir,
-        "SPARK_GRAFT_SYNTH_WARM" -> s"$inDir-warm",
+        "SPARK_GRAFT_SYNTH_WARM" -> warmDir,
         "SPARK_GRAFT_STREAM_DOCS" -> docs.toString,
         "SPARK_GRAFT_SYNTH_LAYOUT" -> layoutCpus.toString,
         "SPARK_GRAFT_SYNTH_CPUS" -> synthCpus.toString))
@@ -462,7 +470,7 @@ object Bench {
     once().orElse {
       System.err.println("[bench] retrying dead synth fork")
       rmTree(java.nio.file.Paths.get(inDir))
-      rmTree(java.nio.file.Paths.get(s"$inDir-warm"))
+      rmTree(java.nio.file.Paths.get(warmDir))
       Files.createDirectories(java.nio.file.Paths.get(inDir))
       once()
     }.getOrElse(throw new IllegalStateException(
@@ -475,7 +483,7 @@ object Bench {
   private def forkLevel(cpus: Int, extraEnv: Map[String, String]): (Double, Long, Boolean, String, Long) = {
     val out = forkSelf(extraEnv ++ Map(
       "SPARK_GRAFT_ONLY" -> cpus.toString,
-      "SPARK_GRAFT_SKIP_QUERIES" -> "1"))
+      "SPARK_GRAFT_SKIP_QUERIES" -> "1"), pretouch = true)
     out.linesIterator.find(_.startsWith("BENCHRATE ")) match {
       case Some(line) =>
         val json = line.drop("BENCHRATE ".length)
@@ -570,13 +578,16 @@ object Bench {
       val picked = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
         nameFilter.isEmpty || nameFilter.exists(n.contains)
       }
-      // min-of-K per query (default 3): this box's ambient host-side
-      // contention swings identical runs up to ~10× (BASELINE.md — one
-      // recorded window inflated a 0.3 s md5 query to 11 s); the min
-      // is the engine's number, the swing is the machine's. Three reps
-      // also absorb the first-execution JIT/page-cache pass, which
-      // alone is 5-50× the warm cost for the short queries.
-      val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+      // min-of-K per query (K=2 at the default wall budget, 3 with
+      // ≥1200 s in hand): this box's ambient host-side contention
+      // swings identical runs up to ~10× (BASELINE.md — one recorded
+      // window inflated a 0.3 s md5 query to 11 s); the min is the
+      // engine's number, the swing is the machine's. Rep 1 also
+      // absorbs the first-execution JIT/page-cache pass, which alone
+      // is 5-50× the warm cost for the short queries — so the min
+      // effectively reads rep 2+.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS",
+        if (wallBudget >= 1500) "3" else "2").toInt
       // ambient-interference evidence for the per-query section (the
       // stream section already carries per-attempt steal/membw): DRAM
       // bandwidth + steal sampled around the whole query block ride in
@@ -683,20 +694,65 @@ object Bench {
           // r3 rc=124 both left parsed:null — never again).
           var cleanupDirs: List[String] = Nil
           try {
-            val inDir = Files.createTempDirectory(ioRoot, "in-").toString
-            val warmDir = s"$inDir-warm"
-            cleanupDirs = List(inDir, warmDir)
-            val expected =
-              forkSynth(inDir, streamDocs, layoutCpus = baseCpus * 4, synthCpus = cpus)
+            // Corpus cache: the corpus is a pure function of (docs,
+            // files-per-batch, tranches) at a fixed seed, so it is
+            // synthesized ONCE per configuration into a keyed tmpfs
+            // dir and reused by every later run on this boot — the
+            // ~6 min synthesis was the single largest mandatory cost
+            // of a default run (r4 phase timing), and re-deriving a
+            // deterministic fixture per run buys nothing. The fork
+            // writes to a tmp dir; the parent renames it into place
+            // (mtime order — which the file source's batch order
+            // depends on — survives a rename) and records the
+            // expected-row count beside it. Bump the v1 tag in the
+            // key when the generator changes.
+            val mfpt = filesPerBatch(baseCpus * 4)
+            val cacheDir = ioRoot.resolve(
+              s"corpus-v1-d$streamDocs-m$mfpt-t$tranchesEnv")
+            val expectedFile = cacheDir.resolve("_EXPECTED")
+            val cacheHit = Files.exists(expectedFile)
+            val (inDir, warmDir, expected) =
+              if (cacheHit) {
+                System.err.println(s"[bench] corpus cache hit: $cacheDir")
+                (cacheDir.resolve("in").toString, cacheDir.resolve("warm").toString,
+                  Files.readString(expectedFile).trim.toLong)
+              } else {
+                val tmp = ioRoot.resolve(
+                  s"${cacheDir.getFileName}.tmp-${ProcessHandle.current().pid()}")
+                cleanupDirs = List(tmp.toString)
+                val e = forkSynth(tmp.resolve("in").toString, streamDocs,
+                  layoutCpus = baseCpus * 4, synthCpus = cpus)
+                try {
+                  Files.move(tmp, cacheDir,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  Files.writeString(cacheDir.resolve("_EXPECTED"), e.toString)
+                  cleanupDirs = Nil // cache is persistent, not cleanup
+                  (cacheDir.resolve("in").toString, cacheDir.resolve("warm").toString, e)
+                } catch {
+                  case _: java.nio.file.FileSystemException
+                      if Files.exists(expectedFile) =>
+                    // another run won the rename race — use its corpus
+                    (cacheDir.resolve("in").toString,
+                      cacheDir.resolve("warm").toString,
+                      Files.readString(expectedFile).trim.toLong)
+                }
+              }
+            // Measured attempts per fork: the small-corpus warmup +
+            // pre-touched heap already pay what attempt 1 used to pay
+            // on a 200+ s cold pass, so 1 attempt is honest — but this
+            // host's DRAM throttle fluctuates minute-to-minute (one r4
+            // 16-thread attempt read 582k rows/s, the next run's 251k,
+            // same plan), so when the corpus cache made the prefix
+            // cheap, spend the saved wall on a second attempt per
+            // level: best-of-2 reads through transient troughs.
+            val attemptsDefault = if (cacheHit) "2" else "1"
             val sharedEnv = Map(
               "SPARK_GRAFT_INDIR" -> inDir,
               "SPARK_GRAFT_WARM_INDIR" -> warmDir,
               "SPARK_GRAFT_EXPECTED" -> expected.toString,
               "SPARK_GRAFT_MFPT" -> filesPerBatch(baseCpus * 4).toString,
-              // 1 measured attempt per fork — the separate small-corpus
-              // warmup pass pays the JIT that attempt 1 used to pay on a
-              // 200+ s full cold pass; override via SPARK_GRAFT_ATTEMPTS
-              "SPARK_GRAFT_ATTEMPTS" -> sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "1"))
+              "SPARK_GRAFT_ATTEMPTS" ->
+                sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", attemptsDefault))
             // a transient fork death (e.g. ambient memory pressure
             // OOM-killing the child JVM) must not zero the round's
             // artifact — retry a dead level once
@@ -762,13 +818,6 @@ object Bench {
               pairs += measurePair(tag, cN)
               pairCostSec = math.max(pairCostSec, elapsedSec - t)
             }
-            var k = 0
-            var budgetStop = false
-            while (!budgetStop && (k < nPairs || (k < maxPairs && bestEff < target))) {
-              k += 1
-              if (k == 1 || affordable(s"pair$k")) timedPair(s"pair$k", baseCpus)
-              else budgetStop = true
-            }
             // Degraded-window fallback pairing (one bounded extra
             // pair): under host DRAM throttling the absolute ceiling
             // drops ~3×, and once the 4N level is bandwidth-bound the
@@ -780,11 +829,36 @@ object Bench {
             // per-pair as cpus_n so the artifact says which pairing
             // produced the number. Budget-gated like every non-first
             // stage.
-            if (bestEff < target && baseCpus >= 2 &&
-                !sys.env.contains("SPARK_GRAFT_NO_HALVED_FALLBACK") &&
-                affordable("pair-halved")) {
-              timedPair("pair-halved", baseCpus / 2)
+            var halvedDone = false
+            def tryHalved(): Unit =
+              if (!halvedDone && baseCpus >= 2 &&
+                  !sys.env.contains("SPARK_GRAFT_NO_HALVED_FALLBACK")) {
+                halvedDone = true // one shot, whether run or skipped
+                if (affordable("pair-halved")) timedPair("pair-halved", baseCpus / 2)
+              }
+            // every membw probe around a pair's attempts below the
+            // quiet gate → the window never cleared; a second STANDARD
+            // pair would re-measure the same DRAM wall, so the halved
+            // pairing is the next stage with information — run it
+            // FIRST (r4: a whole day of 2.0-2.8 GB/s probes produced
+            // standard-pair ratios of 0.23-0.63 while the engine's
+            // archived quiet-window series sits at 0.89-0.99)
+            def allThrottled(r: PairRec): Boolean = {
+              def bws(s: String) = """"membw_gbs":([0-9.]+)""".r
+                .findAllMatchIn(s).map(_.group(1).toDouble).toSeq
+              val all = bws(r.p1._4) ++ bws(r.p4._4)
+              all.nonEmpty && all.forall(_ < gateGBs)
             }
+            var k = 0
+            var budgetStop = false
+            while (!budgetStop && (k < nPairs || (k < maxPairs && bestEff < target))) {
+              k += 1
+              if (k == 1 || affordable(s"pair$k")) timedPair(s"pair$k", baseCpus)
+              else budgetStop = true
+              if (k == 1 && bestEff < target && pairs.nonEmpty &&
+                  allThrottled(pairs.head)) tryHalved()
+            }
+            if (bestEff < target) tryHalved()
           } catch {
             case t: Throwable =>
               streamError = Some(

@@ -41,6 +41,29 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 2, s"expected 2 exchanges (agg + final sort), got $exchanges:\n$p")
   }
 
+  test("streaming-fold batch images shuffle once on their state key (+ presentation sort)") {
+    // pacing_schedule / session_stitch / session_jar group on the SAME
+    // key their streaming operators key state by (source / doc_id /
+    // user_token): exactly one hash exchange into the fold plus the
+    // final range exchange for the ordered driver output — a plan that
+    // grew a third exchange is re-shuffling the fold's input
+    for ((name, df) <- Seq(
+        "pacing_schedule" -> TokenEngine.pacingSchedule(spark, sf),
+        "session_stitch" -> TokenEngine.sessionStitch(spark, sf),
+        "session_jar" -> TokenEngine.sessionJarFold(spark, sf))) {
+      val p = physical(df)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 2, s"$name: expected 2 exchanges (fold key + sort), got $exchanges:\n$p")
+    }
+  }
+
+  test("salted aggregation is two-phase: exactly two hash exchanges plus the presentation sort") {
+    val p = physical(TokenEngine.skewSalted(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // (source, salt) partial → source merge → orderBy
+    assert(exchanges == 3, s"expected 3 exchanges (salted partial + merge + sort), got $exchanges:\n$p")
+  }
+
   test("custom kernels run inside the whole-stage-codegen span") {
     import spark.implicits._
     val docs = Seq(("d", Array(2, 3, 100, 1), 4, "s")).toDF("doc_id", "tokens", "n_tok", "source")
