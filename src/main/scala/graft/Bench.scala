@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -218,11 +219,13 @@ object Bench {
   private def filesPerBatch(layoutCpus: Int): Int =
     math.max(1, layoutCpus / 4) * (8 / tranchesEnv)
 
-  /** Warmup-corpus size: 1/16 of the measured corpus (floor 20k docs)
-    * — enough full-pipeline passes to reach C2-compiled steady state,
-    * small enough that the untimed warmup costs seconds, not the
-    * 200+ s a cold full pass costs. */
-  private def warmDocsOf(streamDocs: Long): Long = math.max(20000L, streamDocs / 16)
+  /** Warmup-corpus size: 1/16 of the measured corpus (floor 20k docs,
+    * but never larger than the measured corpus itself — a 5k-doc
+    * debug run must not warm on 20k) — enough full-pipeline passes to
+    * reach C2-compiled steady state, small enough that the untimed
+    * warmup costs seconds, not the 200+ s a cold full pass costs. */
+  private def warmDocsOf(streamDocs: Long): Long =
+    math.min(streamDocs, math.max(20000L, streamDocs / 16))
 
   /**
    * Synthesize the deterministic fragment corpus + flush files into
@@ -579,7 +582,7 @@ object Bench {
         nameFilter.isEmpty || nameFilter.exists(n.contains)
       }
       // min-of-K per query (K=2 at the default wall budget, 3 with
-      // ≥1200 s in hand): this box's ambient host-side contention
+      // ≥1500 s in hand): this box's ambient host-side contention
       // swings identical runs up to ~10× (BASELINE.md — one recorded
       // window inflated a 0.3 s md5 query to 11 s); the min is the
       // engine's number, the swing is the machine's. Rep 1 also
@@ -710,6 +713,13 @@ object Bench {
             val cacheDir = ioRoot.resolve(
               s"corpus-v1-d$streamDocs-m$mfpt-t$tranchesEnv")
             val expectedFile = cacheDir.resolve("_EXPECTED")
+            // a cacheDir WITHOUT _EXPECTED is a run killed mid-
+            // finalization (or a pre-fix straggler): stale — remove it
+            // or every later run would fail its rename forever
+            if (Files.exists(cacheDir) && !Files.exists(expectedFile)) {
+              System.err.println(s"[bench] removing stale corpus cache: $cacheDir")
+              rmTree(cacheDir)
+            }
             val cacheHit = Files.exists(expectedFile)
             val (inDir, warmDir, expected) =
               if (cacheHit) {
@@ -717,15 +727,48 @@ object Bench {
                 (cacheDir.resolve("in").toString, cacheDir.resolve("warm").toString,
                   Files.readString(expectedFile).trim.toLong)
               } else {
+                // bound the cache before synthesizing a new corpus:
+                // tmpfs is RAM, and unbounded stacking of
+                // configurations would re-create the ambient-memory-
+                // pressure regime that OOM-killed r2. Dead `.tmp-`
+                // stragglers always go; complete corpora are evicted
+                // oldest-first only past a 16 GiB total (so a small-sf
+                // smoke run cannot evict the big corpus the next
+                // full-sf run needs).
+                locally {
+                  def size(p: java.nio.file.Path): Long =
+                    scala.util.Using.resource(Files.walk(p))(
+                      _.iterator().asScala.filter(Files.isRegularFile(_))
+                        .map(Files.size).sum)
+                  val (tmps, corpora) = scala.util.Using.resource(Files.list(ioRoot))(
+                    _.iterator().asScala.filter { p =>
+                      val n = p.getFileName.toString
+                      (n.startsWith("corpus-v") && p != cacheDir) || n.contains(".tmp-")
+                    }.toList).partition(_.getFileName.toString.contains(".tmp-"))
+                  tmps.foreach { p =>
+                    System.err.println(s"[bench] removing straggler: $p")
+                    rmTree(p)
+                  }
+                  var total = corpora.map(size).sum
+                  for (p <- corpora.sortBy(p => Files.getLastModifiedTime(p).toMillis)
+                       if total > 16L * 1024 * 1024 * 1024) {
+                    System.err.println(s"[bench] evicting cached corpus: $p")
+                    total -= size(p)
+                    rmTree(p)
+                  }
+                }
                 val tmp = ioRoot.resolve(
                   s"${cacheDir.getFileName}.tmp-${ProcessHandle.current().pid()}")
                 cleanupDirs = List(tmp.toString)
                 val e = forkSynth(tmp.resolve("in").toString, streamDocs,
                   layoutCpus = baseCpus * 4, synthCpus = cpus)
+                // _EXPECTED is written INSIDE tmp before the atomic
+                // move, so the published cacheDir is complete-or-absent
+                // — a kill can never leave a half-finalized cache
+                Files.writeString(tmp.resolve("_EXPECTED"), e.toString)
                 try {
                   Files.move(tmp, cacheDir,
                     java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                  Files.writeString(cacheDir.resolve("_EXPECTED"), e.toString)
                   cleanupDirs = Nil // cache is persistent, not cleanup
                   (cacheDir.resolve("in").toString, cacheDir.resolve("warm").toString, e)
                 } catch {

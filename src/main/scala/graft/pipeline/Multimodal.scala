@@ -185,7 +185,12 @@ object Multimodal {
         val id = new String(payload, pos, 4, "US-ASCII")
         val len = bb.getInt(pos + 4)
         if (id == "data") { dataOff = pos + 8; dataLen = len }
-        else pos += 8 + len + (len & 1)
+        else {
+          // a corrupt negative length would stall the walk (len = -8
+          // advances by 0) — fail fast like every other malformed input
+          require(len >= 0, s"malformed WAV chunk '$id' length $len")
+          pos += 8 + len + (len & 1)
+        }
       }
       require(dataOff > 0, "WAV data chunk not found")
       val n = math.min(dataLen, payload.length - dataOff) / 2

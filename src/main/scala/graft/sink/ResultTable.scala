@@ -116,6 +116,11 @@ final class ResultTable(val root: String) {
     parsed.groupBy(_.key).values.map(_.minBy(_.seq)).toSeq.sortBy(_.seq)
   }
 
+  /** O(#commits) — one commit-log listing, the same per-commit catalog
+    * read Iceberg pays. Note: the seq-prefixed name format is not
+    * readable by (and does not read) the pre-seq `<key>.json` format;
+    * tables are not carried across that change — a legacy commit name
+    * is skipped with the unparseable-name warning. */
   def isCommitted(queryId: String, batchId: Long): Boolean =
     commitEntries().exists(_.key == s"$queryId-$batchId")
 
@@ -257,10 +262,12 @@ final class ResultTable(val root: String) {
     val tmp = Files.createTempFile(commitDir, s".$key", ".tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     var seq = existing.map(_.seq).maxOption.getOrElse(0L) + 1
+    var won = false
     var done = false
     while (!done) {
       try {
         Files.createLink(commitDir.resolve(commitFileName(seq, key)), tmp)
+        won = true
         done = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -273,6 +280,10 @@ final class ResultTable(val root: String) {
       }
     }
     Files.deleteIfExists(tmp)
-    publish(key)
+    // a won CAS knows its own entry — publish without re-listing the
+    // log (the listing-per-commit cost is the log read Iceberg also
+    // pays; no reason to pay it twice per commit)
+    if (won) publishEntry(CommitEntry(seq, key, commitFileName(seq, key)))
+    else publish(key)
   }
 }

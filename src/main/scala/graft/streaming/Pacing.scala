@@ -77,8 +77,12 @@ object Pacing {
     val buf = rows.toVector.sortBy(r => (r._3.getTime, r._1))
     val last0 = state.getOption.map(_.lastScheduledMs).getOrElse(Long.MinValue)
     val (folded, last) = foldSchedule(delay, buf.map(r => (r._1, r._3.getTime)), last0)
-    val out = folded.zipWithIndex.map { case ((docId, et, sched), i) =>
-      PacedRow(docId, source, new Timestamp(et), new Timestamp(sched), i)
+    // emit the ORIGINAL event Timestamp (folded is aligned with buf):
+    // rebuilding it from ms would truncate sub-millisecond precision
+    // for callers whose timestamps carry microseconds
+    val out = folded.zip(buf).zipWithIndex.map {
+      case (((docId, _, sched), orig), i) =>
+        PacedRow(docId, source, orig._3, new Timestamp(sched), i)
     }
     state.update(PaceState(last))
     out.iterator

@@ -84,11 +84,19 @@ object RobotsGate {
     // one rule row per source is the join's correctness precondition:
     // a duplicated rules row would silently duplicate every allowed
     // frontier row through the left join (ADVICE r3) — enforce it
-    // here instead of trusting every caller to .distinct() first
+    // here instead of trusting every caller to .distinct() first.
+    // min(struct(...)) rather than dropDuplicates: when duplicate
+    // rows CONFLICT (e.g. an old and a refreshed robots snapshot
+    // unioned), dropDuplicates keeps whichever row the shuffle
+    // delivers first — nondeterministic verdicts run to run; the
+    // struct-min picks the same (lowest-status-first) row every time.
     val r = rules.select(
-      col("source").as("__rsource"), col("status").as("__status"),
-      col("allows").as("__allows"), col("disallows").as("__disallows"))
-      .dropDuplicates("__rsource")
+      col("source").as("__rsource"),
+      struct(col("status"), col("allows"), col("disallows")).as("__rule"))
+      .groupBy(col("__rsource"))
+      .agg(min(col("__rule")).as("__rule"))
+      .select(col("__rsource"), col("__rule.status").as("__status"),
+        col("__rule.allows").as("__allows"), col("__rule.disallows").as("__disallows"))
     frontier
       .join(broadcast(r), frontier(sourceCol) === col("__rsource"), "left")
       .filter(verdict(frontier(pathCol)))
