@@ -49,6 +49,8 @@ object SparkEntry {
     "session_stitch" -> (TokenEngine.sessionStitch _),
     "session_jar" -> (TokenEngine.sessionJarFold _),
     "q_skew_salted" -> (TokenEngine.skewSalted _),
+    "q_salted_join" -> (TokenEngine.saltedJoinAgg _),
+    "dead_letter" -> (TokenEngine.deadLetterStats _),
     // training-data pipeline (dedup / similarity / text analysis /
     // multimodal) — SQL-expressible ones DuckDB-checked, LSH/winnow/
     // multimodal rows-only + PipelineSpec
@@ -365,6 +367,36 @@ object SparkEntry {
         |  md5(string_agg(doc_id, '|' ORDER BY doc_id)) AS docs_md5
         |FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet')
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the salted equi-join vs the oracle's PLAIN join (same
+    // equality-proves-plan-change pattern as q_skew_salted): the
+    // per-source digest folds every joined row, so a dropped or
+    // doubled (key, salt) match cannot hash-match
+    "q_salted_join" ->
+      """WITH t AS (SELECT doc_id, source, n_tok
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/tokens/*.parquet')),
+        |b AS (SELECT source, MAX(n_tok) AS src_max FROM t GROUP BY source),
+        |j AS (SELECT t.doc_id, t.source, t.n_tok, b.src_max
+        |  FROM t JOIN b USING (source))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_tok = src_max THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max,
+        |  md5(string_agg(doc_id || ':' || CAST(src_max AS VARCHAR), '|'
+        |    ORDER BY doc_id || ':' || CAST(src_max AS VARCHAR))) AS join_md5
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // every row's status re-derived independently by DuckDB from the
+    // exported poisoned rows (reference errs/errors.go taxonomy as
+    // data); per-status counts + ordered digest of each class
+    "dead_letter" ->
+      """WITH c AS (SELECT doc_id, n_tok,
+        |    CASE WHEN tokens IS NULL OR len(tokens) = 0 THEN 'empty_payload'
+        |         WHEN len(tokens) <> n_tok THEN 'bad_token_count'
+        |         WHEN len(list_filter(tokens, t -> t < 0 OR t >= 32768)) > 0
+        |           THEN 'token_out_of_range'
+        |         ELSE 'ok' END AS status
+        |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/dl_rows/*.parquet'))
+        |SELECT status, COUNT(*) AS n_rows,
+        |  CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+        |  md5(string_agg(doc_id, '|' ORDER BY doc_id)) AS docs_md5
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,

@@ -43,6 +43,10 @@ object Verify {
     // (TTL segmentation + per-event prefix aggregation) itself
     graft.queries.TokenEngine.jarEvents(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/jar_events")
+    // poisoned token rows — DuckDB re-derives every row's dead-letter
+    // status independently (only the corruption itself is shared)
+    graft.queries.TokenEngine.dlRows(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/dl_rows")
     graft.pipeline.Multimodal
       .synthesize(spark, graft.queries.Pipeline.mediaCount(sfDir))
       .write.mode("overwrite").parquet(s"$outDir/.oracle_tables/media")

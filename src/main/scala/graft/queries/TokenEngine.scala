@@ -514,6 +514,62 @@ object TokenEngine {
           .as("docs_md5")))
       .orderBy(col("source"))
 
+  /** Deterministically poisoned variant of the token table — the
+    * dead-letter row's input (exported for the oracle, same standing
+    * as pacing_rows). One row in 23 is corrupted per the hash of its
+    * doc_id: emptied payload, inflated n_tok, or an out-of-vocab
+    * token — one per class of the reference's error taxonomy
+    * (reference errs/errors.go:37-141 maps error classes to statuses;
+    * here statuses are data, derived per row). */
+  private[graft] def dlRows(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(xxhash64(col("doc_id")), lit(23))
+    docsFor(spark, dir)
+      .select(col("doc_id"), col("source"), col("tokens"), col("n_tok"))
+      .withColumn("tokens",
+        when(m === 0, array().cast("array<int>"))
+          .when(m === 2, concat(
+            array(lit(graft.model.TokenCodec.VOCAB + 5)),
+            slice(col("tokens"), lit(2), greatest(size(col("tokens")) - 1, lit(0)))))
+          .otherwise(col("tokens")))
+      .withColumn("n_tok", when(m === 1, col("n_tok") + 1).otherwise(col("n_tok")))
+  }
+
+  /** §2.9 dead-letter taxonomy as a DuckDB-checked driver row (round-4
+    * verdict #2): the batch image of [[graft.streaming.DeadLetter]]'s
+    * status classification over a deterministically poisoned input —
+    * per-status row counts, token totals, and an ordered digest of
+    * each status class's rows (so a row routed to the wrong side of
+    * the quarantine split cannot hash-match). The oracle re-derives
+    * every row's status independently from the exported rows. */
+  def deadLetterStats(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.DeadLetter.classify(dlRows(spark, dir))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_tok")).cast("bigint").as("total_tok"),
+        md5(array_join(array_sort(collect_list(col("doc_id"))), "|")).as("docs_md5"))
+      .orderBy(col("status"))
+
+  /** Explicit skew handling, join form, as a DuckDB-checked driver row
+    * (round-4 verdict #3): [[Skew.saltedJoin]] on the Zipf-hot
+    * `source` key — probe side deterministically salted, build side
+    * replicated nSalts× — must equal the oracle's plain equi-join.
+    * The per-source digest folds every joined row (probe doc_id ×
+    * the build attribute it matched), so a dropped or doubled match
+    * cannot hash-match; SkewSpec pins the replicate-side plan. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsFor(spark, dir)
+    val build = docs.groupBy(col("source")).agg(max(col("n_tok")).as("src_max"))
+    graft.queries.Skew.saltedJoin(docs, build, "source", col("doc_id"), nSalts = 16)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_tok") === col("src_max")).cast("long")).cast("bigint").as("n_at_max"),
+        md5(array_join(array_sort(collect_list(
+          concat_ws(":", col("doc_id"), col("src_max")))), "|")).as("join_md5"))
+      .orderBy(col("source"))
+  }
+
   /** Token-pattern find-all (the regex analog, P3) — positions of a
     * 2-token subsequence within Names payloads. The generator plants
     * the [100,101] bigram at a seeded rate (TokenGen.docTokens) so the

@@ -84,6 +84,21 @@ class SkewSpec extends SparkSuite {
       s"salted agg should shuffle exactly twice:\n$p")
   }
 
+  test("q_salted_join driver row: salted equi-join image equals the plain join's") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.TokenEngine.docsFor(spark, dir)
+    val build = docs.groupBy(col("source")).agg(max(col("n_tok")).as("src_max"))
+    val plain = docs.join(build, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_tok") === col("src_max")).cast("long")).cast("bigint").as("n_at_max"),
+        md5(array_join(array_sort(collect_list(
+          concat_ws(":", col("doc_id"), col("src_max")))), "|")).as("join_md5"))
+      .orderBy(col("source")).collect().toSeq
+    val salted = graft.queries.TokenEngine.saltedJoinAgg(spark, dir).collect().toSeq
+    assert(salted === plain)
+  }
+
   test("bucketed tables: recurring equi-join runs with zero shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
     val a = spark.range(1000).select(col("id").as("doc_id"),

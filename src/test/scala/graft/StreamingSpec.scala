@@ -424,6 +424,19 @@ class StreamingSpec extends SparkSuite {
     } finally { qMain.stop(); qDlq.stop() }
   }
 
+  test("dead_letter driver row: statuses partition the poisoned table, every class hit") {
+    val dir = "/root/testdata/sf0.001"
+    val stats = graft.queries.TokenEngine.deadLetterStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet === Set(DeadLetter.Ok, DeadLetter.EmptyPayload,
+      DeadLetter.BadTokenCount, DeadLetter.TokenOutOfRange),
+      s"all four taxonomy classes must appear, got ${stats.keySet}")
+    assert(stats.values.forall(_ > 0), s"every class must be non-vacuous: $stats")
+    val total = graft.queries.TokenEngine.docsFor(spark, dir).count()
+    assert(stats.values.sum === total,
+      "classification must partition the input — no row dropped or double-counted")
+  }
+
   test("end-to-end kill-and-resume from checkpoint: no dupes, no loss, token-array equality") {
     val base = Files.createTempDirectory("graft-e2e")
     val inDir = base.resolve("in").toString
