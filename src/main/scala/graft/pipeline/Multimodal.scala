@@ -31,19 +31,19 @@ final case class MediaFeatures(
  * Multimodal column handling: image/audio/video as opaque `binary`
  * columns with typed metadata, processed in per-partition batches.
  *
- * Image and audio decode are REAL (JDK-only codecs — no new
- * dependencies): [[synthesize]] emits genuine PNG payloads (encoded
- * via `javax.imageio`) and genuine WAV/PCM16 payloads (canonical RIFF
- * header, hand-built), and [[JdkDecoder]] decodes them back to pixels
- * / samples before feature folding. Only the `video` kind remains a
- * STUB ([[StubDecoder]] byte-fold — no video codec ships with the
- * JDK); a real deployment drops a JNI/codec-backed [[MediaDecoder]]
- * in with the same signature. The Spark-side plumbing is identical
- * either way: the schema (binary + struct metadata round-trips
- * through Parquet), the typed Dataset boundary, the mapPartitions
- * batch shape (one decoder instance per partition, amortized over all
- * rows in it — the same shape a JNI codec or an inference runtime
- * needs), and the partitioning contract.
+ * All three kinds decode for REAL with JDK-only codecs — no new
+ * dependencies: [[synthesize]] emits genuine PNG payloads (encoded
+ * via `javax.imageio`), genuine WAV/PCM16 payloads (canonical RIFF
+ * header, hand-built), and genuine Motion-JPEG AVI payloads (RIFF
+ * `AVI ` container of JPEG frames — the WAV writer's RIFF scheme
+ * generalized); [[JdkDecoder]] decodes them back to pixels / samples
+ * / per-frame pixels before feature folding. A deployment with
+ * heavier codecs (H.264, Opus, a vision tower) drops a JNI/inference-
+ * backed [[MediaDecoder]] in with the same signature; the Spark-side
+ * plumbing is identical either way: the schema (binary + struct
+ * metadata round-trips through Parquet), the typed Dataset boundary,
+ * the mapPartitions batch shape (one decoder instance per partition,
+ * amortized over all rows in it), and the partitioning contract.
  *
  * Scale: decode/feature-extract is the most expensive narrow stage of
  * a multimodal pipeline; the design rule is: never shuffle payload
@@ -82,9 +82,64 @@ object Multimodal {
     bb.array()
   }
 
+  /** Encode an RGB pixel grid as a real JPEG via javax.imageio (the
+    * JDK ships a JPEG writer) — the per-frame codec of [[encodeAvi]]. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, rgb, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Encode JPEG frames as a canonical Motion-JPEG AVI: RIFF `AVI `
+    * with an `hdrl` LIST (avih main header + one `vids`/`MJPG` stream
+    * with its BITMAPINFOHEADER) and a `movi` LIST of `00dc` frame
+    * chunks — the same RIFF chunk grammar as [[encodeWav]], one level
+    * deeper. Every multi-byte field is little-endian; odd-length
+    * chunks pad to even per the RIFF rule. */
+  def encodeAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty, "empty AVI")
+    def le32(v: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v); b.array()
+    }
+    def le16(v: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(v.toShort); b.array()
+    }
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def dwords(vs: Int*): Array[Byte] = vs.toArray.flatMap(le32)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fourcc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(kind) ++ body)
+    val maxFrame = frames.map(_.length).max
+    // MainAVIHeader: usPerFrame, maxBytesPerSec, padding, flags,
+    // totalFrames, initialFrames, streams, suggestedBufferSize,
+    // width, height, reserved[4]
+    val avih = chunk("avih", dwords(1000000 / fps, maxFrame * fps, 0, 0,
+      frames.length, 0, 1, maxFrame, w, h, 0, 0, 0, 0))
+    // AVIStreamHeader: fccType, fccHandler, flags, priority+language,
+    // initialFrames, scale, rate, start, length, suggestedBufferSize,
+    // quality (-1 = default), sampleSize, rcFrame
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++
+      dwords(0, 0, 0, 1, fps, 0, frames.length, maxFrame, -1, 0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    // BITMAPINFOHEADER with biCompression = 'MJPG'
+    val strf = chunk("strf", dwords(40, w, h) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ dwords(w * h * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
   /** Deterministic synthetic media corpus (seeded): REAL PNG payloads
-    * for images, REAL WAV/PCM16 payloads for audio, opaque seeded
-    * bytes for video (the one kind whose decode stays stubbed). */
+    * for images, REAL WAV/PCM16 payloads for audio, REAL Motion-JPEG
+    * AVI payloads for video. */
   def synthesize(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     spark.range(n).mapPartitions { it =>
@@ -104,10 +159,13 @@ object Multimodal {
             MediaRecord(f"m-$i%08d", kind, encodeWav(16000, samples),
               MediaMeta(0, 0, 16000, nSamp))
           case _ =>
-            val size = 256 + rng.nextInt(1024)
-            MediaRecord(f"m-$i%08d", kind,
-              Array.fill(size)(rng.nextLong().toByte),
-              MediaMeta(640, 360, 0, 1 + rng.nextInt(300)))
+            val w = 8 + rng.nextInt(9) // 8..16 px
+            val h = 8 + rng.nextInt(9)
+            val nf = 2 + rng.nextInt(4) // 2..5 frames
+            val frames = Seq.fill(nf)(
+              encodeJpeg(w, h, Array.fill(w * h)(rng.nextInt(0x1000000))))
+            MediaRecord(f"m-$i%08d", kind, encodeAvi(w, h, 10, frames),
+              MediaMeta(w, h, 0, nf))
         }
       }
     }
@@ -115,9 +173,9 @@ object Multimodal {
 
   /**
    * Pluggable decode boundary: the default implementation is
-   * [[JdkDecoder]] (real PNG + WAV decode, JDK-only); a deployment
-   * with native codecs drops in a JNI-backed instance with the same
-   * signature and the pipeline shape is unchanged. Ships to
+   * [[JdkDecoder]] (real PNG + WAV + MJPEG-AVI decode, JDK-only); a
+   * deployment with native codecs drops in a JNI-backed instance with
+   * the same signature and the pipeline shape is unchanged. Ships to
    * executors once; [[init]] runs once per PARTITION before the row
    * loop, where an implementation acquires its expensive native state
    * (codec handle, inference session).
@@ -127,47 +185,67 @@ object Multimodal {
     def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB decode: a real implementation would dispatch on `kind` to an
-    * image codec / audio resampler / video frame sampler. The
-    * deterministic stand-in folds payload bytes into a fixed-length
-    * float vector, so downstream stages (ANN, dedup, joins) exercise
-    * realistic shapes and the whole pipeline stays reproducible. */
-  object StubDecoder extends MediaDecoder {
-    def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] = {
-      // a real codec call goes here (codecs unavailable in this sandbox)
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < payload.length) {
-        val d = i % dim
-        out(d) += (payload(i) & 0xff) / 255.0f - 0.5f
-        i += 1
-      }
-      out
-    }
-  }
-
-  /** Kept for existing call sites/oracles: stub decode of one payload. */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] =
-    StubDecoder.decode("", payload, dim)
-
-  /** REAL decoder, JDK-only (round-3 verdict #4): PNG via
-    * `javax.imageio` (the JDK ships PNG/BMP/GIF readers), WAV/PCM16
-    * via a RIFF parser — both decode the genuine formats
-    * [[synthesize]] emits, then fold the DECODED signal (pixels /
-    * samples, not payload bytes) into the feature vector. `video`
-    * falls back to the stub byte-fold (no JDK video codec). */
+  /** REAL decoder, JDK-only (round-3 verdict #4; video closed round
+    * 5): PNG and per-frame JPEG via `javax.imageio` (the JDK ships
+    * PNG/JPEG/BMP/GIF readers), WAV/PCM16 and MJPEG-AVI via RIFF
+    * parsers — all three decode the genuine formats [[synthesize]]
+    * emits, then fold the DECODED signal (pixels / samples / frame
+    * pixels, not payload bytes) into the feature vector. */
   object JdkDecoder extends MediaDecoder {
 
-    /** Decoded grayscale intensities in [0,1], row-major. */
-    def decodePixels(payload: Array[Byte]): Array[Float] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      require(img != null, "imageio could not decode payload")
+    private def luma(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth; val h = img.getHeight
       val rgb = img.getRGB(0, 0, w, h, null, 0, w)
       rgb.map { p =>
         val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
         (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
       }
+    }
+
+    /** Decoded grayscale intensities in [0,1], row-major. */
+    def decodePixels(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "imageio could not decode payload")
+      luma(img)
+    }
+
+    /** Per-frame decoded grayscale intensities from a Motion-JPEG
+      * AVI: RIFF walk to the `movi` LIST, each `..dc` frame chunk
+      * through the JDK JPEG reader. */
+    def decodeFrames(payload: Array[Byte]): Seq[Array[Float]] = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(payload.length >= 12 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "AVI ",
+        "not a RIFF/AVI payload")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      var pos = 12
+      while (pos + 8 <= payload.length) {
+        val id = new String(payload, pos, 4, "US-ASCII")
+        val len = bb.getInt(pos + 4)
+        require(len >= 0, s"malformed AVI chunk '$id' length $len")
+        if (id == "LIST" && len >= 4 && pos + 12 <= payload.length &&
+            new String(payload, pos + 8, 4, "US-ASCII") == "movi") {
+          var p = pos + 12
+          val end = math.min(pos + 8 + len, payload.length)
+          while (p + 8 <= end) {
+            val cid = new String(payload, p, 4, "US-ASCII")
+            val clen = bb.getInt(p + 4)
+            require(clen >= 0, s"malformed AVI chunk '$cid' length $clen")
+            if (cid.endsWith("dc")) {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+                payload, p + 8, math.min(clen, end - (p + 8))))
+              require(img != null, "imageio could not decode AVI frame")
+              out += luma(img)
+            }
+            p += 8 + clen + (clen & 1)
+          }
+        }
+        pos += 8 + len + (len & 1)
+      }
+      require(out.nonEmpty, "AVI movi frames not found")
+      out.toSeq
     }
 
     /** Decoded PCM16 samples in [-1,1] from a canonical mono WAV. */
@@ -184,13 +262,13 @@ object Multimodal {
       while (dataOff < 0 && pos + 8 <= payload.length) {
         val id = new String(payload, pos, 4, "US-ASCII")
         val len = bb.getInt(pos + 4)
+        // a corrupt negative length would stall the walk (len = -8
+        // advances by 0) or, on the data chunk itself, turn into a
+        // negative sample count (ADVICE r4) — fail fast for EVERY
+        // chunk, like every other malformed input
+        require(len >= 0, s"malformed WAV chunk '$id' length $len")
         if (id == "data") { dataOff = pos + 8; dataLen = len }
-        else {
-          // a corrupt negative length would stall the walk (len = -8
-          // advances by 0) — fail fast like every other malformed input
-          require(len >= 0, s"malformed WAV chunk '$id' length $len")
-          pos += 8 + len + (len & 1)
-        }
+        else pos += 8 + len + (len & 1)
       }
       require(dataOff > 0, "WAV data chunk not found")
       val n = math.min(dataLen, payload.length - dataOff) / 2
@@ -208,7 +286,8 @@ object Multimodal {
       kind match {
         case "image" => fold(decodePixels(payload), dim)
         case "audio" => fold(decodeSamples(payload), dim)
-        case _       => StubDecoder.decode(kind, payload, dim) // video: stub
+        case "video" => fold(decodeFrames(payload).toArray.flatten, dim)
+        case other => throw new IllegalArgumentException(s"unknown media kind '$other'")
       }
   }
 

@@ -32,10 +32,20 @@ import org.apache.spark.sql.functions._
  *
  * Layout:
  * {{{
- *   root/data/<queryId>-<batchId>/part-*.parquet        (data files)
+ *   root/data/<queryId>-<batchId>-<attemptUid>/part-*.parquet   (data files)
  *   root/_commits/<seq>.<queryId>-<batchId>.json        (manifest / commit;
  *       seq = monotonic commit counter allocated by a filesystem CAS)
  * }}}
+ *
+ * Each commit ATTEMPT writes its data under a unique attempt-uid
+ * suffix, so a same-key committer racing through the CAS window can
+ * never clobber the winner's part files (ADVICE r4 — with a shared
+ * per-key dir, the loser's overwrite deleted the winner's
+ * UUID-named parts and left the committed manifest dangling). The
+ * loser deletes its own attempt dir after losing the CAS; a crash
+ * between data write and commit leaves an invisible orphan attempt
+ * dir — Iceberg's orphan-file semantics, reclaimed by maintenance
+ * (`remove_orphan_files` analog), never read.
  *
  * Lineage: [[appendBatch]] stamps every row with `_batch_id` and
  * `_part_id` (spark_partition_id) — the per-partition lineage required
@@ -109,6 +119,16 @@ final class ResultTable(val root: String) {
             key = n.substring(i + 1)
             _ <- commitKey(key)
           } yield CommitEntry(seq, key, fn)
+        // a pre-seq-format commit (`<queryId>-<batchId>.json`, no seq
+        // prefix) means this table was written before the seq chain
+        // existed: silently skipping it would make committed data
+        // INVISIBLE (ADVICE r4) — fail hard with the migration path
+        // instead
+        if (e.isEmpty && i < 0 && commitKey(n).isDefined)
+          throw new IllegalStateException(
+            s"legacy pre-seq commit '$fn' in $commitDir — this table predates " +
+            "the seq-prefixed commit log; rename each '<key>.json' to " +
+            "'<seq 20-digit>.<key>.json' in key order (or rewrite the table)")
         if (e.isEmpty && !fn.startsWith("."))
           System.err.println(s"[ResultTable] skipping unparseable commit name: $fn")
         e
@@ -217,13 +237,13 @@ final class ResultTable(val root: String) {
         try Files.createLink(link, Paths.get(f))
         catch {
           case _: java.nio.file.FileAlreadyExistsException => ()
-          // a concurrent committer for the same batch overwrote the
-          // data dir after this manifest was written (two writers
-          // sharing a queryId — misuse, but it must not kill the
-          // stream); the surviving committer's publish wins
+          // per-attempt data dirs mean a committed manifest's files
+          // cannot be clobbered by a same-key racer anymore; keep the
+          // guard defensively (external deletion must not kill the
+          // stream), but loudly
           case _: java.nio.file.NoSuchFileException =>
             System.err.println(
-              s"[ResultTable] publish: manifest file vanished ($f) — concurrent committer?")
+              s"[ResultTable] publish: manifest file vanished ($f) — external deletion?")
         }
     }
 
@@ -249,11 +269,15 @@ final class ResultTable(val root: String) {
       publish(key) // repair a crash between commit and publication
       return       // idempotent replay skip
     }
-    val target = dataDir.resolve(key)
+    // unique attempt dir: a concurrent same-key committer must never
+    // write into (and on loss, delete from) the dir another attempt's
+    // manifest references — see the layout note in the class doc
+    val target = dataDir.resolve(
+      s"$key-${java.util.UUID.randomUUID().toString.take(8)}")
     df
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_part_id", spark_partition_id())
-      .write.mode("overwrite").parquet(target.toString)
+      .write.parquet(target.toString)
     val files = listDir(target)
       .map(_.toString).filter(_.endsWith(".parquet")).sorted
     val manifest =
@@ -272,14 +296,23 @@ final class ResultTable(val root: String) {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           // lost the CAS: either another writer took this seq (retry at
-          // the new tail) or a same-key replay already committed (stop
-          // — identical content, lowest seq wins on the read side)
+          // the new tail) or a same-key committer already committed
+          // (stop — identical logical content; lowest seq wins on the
+          // read side, and THIS attempt's data dir is dead weight)
           val entries = commitEntries()
           if (entries.exists(_.key == key)) done = true
           else seq = math.max(seq + 1, entries.map(_.seq).maxOption.getOrElse(0L) + 1)
       }
     }
     Files.deleteIfExists(tmp)
+    // same-key CAS loser: its attempt dir is unreferenced by any
+    // manifest — delete it so the loss leaves no garbage (the winner's
+    // dir is untouched; that is the point of per-attempt dirs)
+    if (!won && Files.exists(target)) {
+      scala.util.Using.resource(Files.walk(target))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f)))
+    }
     // a won CAS knows its own entry — publish without re-listing the
     // log (the listing-per-commit cost is the log read Iceberg also
     // pays; no reason to pay it twice per commit)

@@ -273,6 +273,38 @@ class PipelineSpec extends SparkSuite {
     assert(ifeat.toSeq == px.toSeq)
   }
 
+  test("multimodal: JDK decoder decodes real MJPEG-AVI video payloads (golden values)") {
+    // two 2x2 flat-gray frames — flat JPEG blocks decode near-exactly,
+    // so the lossy codec still pins golden values within tolerance
+    val f1 = Multimodal.encodeJpeg(2, 2, Array.fill(4)(0x808080)) // luma 128/255
+    val f2 = Multimodal.encodeJpeg(2, 2, Array.fill(4)(0x404040)) // luma 64/255
+    val avi = Multimodal.encodeAvi(2, 2, 10, Seq(f1, f2))
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(avi, 8, 4, "US-ASCII") == "AVI ",
+      "payload is not a real RIFF/AVI (magic mismatch)")
+    // container size field covers the whole body
+    val le = java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(le.getInt(4) == avi.length - 8, "RIFF size field wrong")
+    val frames = Multimodal.JdkDecoder.decodeFrames(avi)
+    assert(frames.length == 2 && frames.forall(_.length == 4),
+      s"expected 2 frames of 4 px, got ${frames.map(_.length)}")
+    assert(frames(0).forall(v => math.abs(v - 128 / 255.0f) < 0.02) &&
+      frames(1).forall(v => math.abs(v - 64 / 255.0f) < 0.02),
+      s"decoded frame lumas off: ${frames.map(_.toSeq)}")
+    // frame ORDER matters in the fold: dim=4 keeps frames separable
+    val feat = Multimodal.JdkDecoder.decode("video", avi, 8)
+    val expected = frames.flatten
+    (0 until 8).foreach { d =>
+      assert(math.abs(feat(d) - expected(d)) < 1e-6,
+        s"video fold mismatch at $d: ${feat.toSeq} vs ${expected.toSeq}")
+    }
+    // malformed container fails with a descriptive error, same
+    // contract as the PNG/WAV paths
+    intercept[IllegalArgumentException] {
+      Multimodal.JdkDecoder.decodeFrames("not a riff container".getBytes("US-ASCII"))
+    }
+  }
+
   test("multimodal: pluggable decoder swaps in (kind-dispatched, per-partition init)") {
     // the structural claim behind the stub: a real codec-backed
     // MediaDecoder drops in with zero pipeline changes

@@ -263,6 +263,50 @@ class StreamingSpec extends SparkSuite {
     assert(w1.read(spark).count() == 4 && w1.snapshots().length == 4)
   }
 
+  test("same-key concurrent committers: winner's files survive, loser's attempt dir cleaned") {
+    val dir = Files.createTempDirectory("graft-race").toString
+    val one = Seq(("a", 1)).toDF("k", "v")
+    // two committers race the SAME (queryId, batchId) through the CAS
+    // window — misuse, but it must stay safe: per-attempt data dirs
+    // mean the loser can never clobber the winner's part files
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      val t = new Thread(() => {
+        start.await()
+        try new ResultTable(dir).appendBatch("q")(one, 0L)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent commit threw: ${errs.peek()}")
+    val table = new ResultTable(dir)
+    assert(table.snapshots() == Seq("q-0"))
+    // every manifest-referenced file exists (the r4-advice failure
+    // mode was a committed manifest pointing at deleted parts)
+    table.committedFiles().foreach(f =>
+      assert(Files.exists(java.nio.file.Paths.get(f)), s"manifest references missing file $f"))
+    assert(table.read(spark).count() == 1)
+    // the losing attempt's unreferenced dir was deleted
+    val nDirs = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(s"$dir/data")))(_.count())
+    assert(nDirs == 1, s"expected exactly the winner's attempt dir, found $nDirs")
+  }
+
+  test("legacy pre-seq commit format fails hard instead of reading as empty") {
+    val dir = Files.createTempDirectory("graft-legacy").toString
+    val table = new ResultTable(dir)
+    table.appendBatch("q")(Seq(("a", 1)).toDF("k", "v"), 0L)
+    // a commit file named in the pre-seq format: silently skipping it
+    // would make its data invisible — the table must refuse to read
+    Files.writeString(java.nio.file.Paths.get(s"$dir/_commits/old-7.json"),
+      "queryId:old\nbatchId:7\n")
+    val e = intercept[IllegalStateException] { table.snapshots() }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("snapshot-aware streaming read: orphaned uncommitted batch invisible; foreign commit name skipped") {
     val dir = Files.createTempDirectory("graft-snap").toString
     val table = new ResultTable(dir)
