@@ -935,35 +935,38 @@ object Bench {
             // the pair compute-dominated (N-level attempts ≈110 s vs
             // the ~10 s fixed floor) at half the cost. Each pair still
             // reads ONE shared input at both its levels.
-            def halvedDocsPick(): Long = {
-              val full = streamDocs
-              val estFull = estEnsureSec(full) +
-                estPairSec(baseCpus / 2, full, attemptsFor(corpusCached(full)), 15L)
-              if (remainingSec > estFull * 23 / 20) full
-              else math.max(streamDocs / 2, math.min(streamDocs, 20000L))
-            }
+            val halfDocs = math.max(streamDocs / 2, math.min(streamDocs, 20000L))
             def estHalvedSec(docs: Long, attempts: Int): Long =
               estEnsureSec(docs) + estPairSec(baseCpus / 2, docs, attempts, 15L)
+            /** One halved pair at `docs` if the budget covers it,
+              * degrading to 1 attempt/level as the last affordable
+              * rung (noisier — the best-of-2 insurance goes — but a
+              * measured halved pair beats a skipped one). Returns
+              * whether it ran. */
+            def halvedPair(tag: String, docs: Long): Boolean = {
+              val att = attemptsFor(corpusCached(docs))
+              if (remainingSec > estHalvedSec(docs, att) * 11 / 10) {
+                timedPair(tag, baseCpus / 2, docs); true
+              } else if (att > 1 && remainingSec > estHalvedSec(docs, 1) * 11 / 10) {
+                System.err.println(s"[bench budget] $tag degraded to 1 attempt/level")
+                timedPair(tag, baseCpus / 2, docs, attempts = Some(1)); true
+              } else {
+                skippedStages ::= tag
+                System.err.println(s"[bench budget] skipping $tag " +
+                  s"(remaining=${remainingSec}s < est ~${estHalvedSec(docs, 1) * 11 / 10}s)")
+                false
+              }
+            }
             var halvedDone = false
             def tryHalved(): Unit =
               if (!halvedDone && halvedOk) {
                 halvedDone = true // one shot, whether run or skipped
-                val docs = halvedDocsPick()
-                val att = attemptsFor(corpusCached(docs))
-                if (remainingSec > estHalvedSec(docs, att) * 11 / 10)
-                  timedPair("pair-halved", baseCpus / 2, docs)
-                else if (att > 1 && remainingSec > estHalvedSec(docs, 1) * 11 / 10) {
-                  // last affordable rung before giving the stage up:
-                  // a single warmed attempt per level (noisier — the
-                  // best-of-2 insurance goes — but a measured halved
-                  // pair beats a skipped one)
-                  System.err.println("[bench budget] pair-halved degraded to 1 attempt/level")
-                  timedPair("pair-halved", baseCpus / 2, docs, attempts = Some(1))
-                } else {
-                  skippedStages ::= "pair-halved"
-                  System.err.println(s"[bench budget] skipping pair-halved " +
-                    s"(remaining=${remainingSec}s < est ~${estHalvedSec(docs, 1) * 11 / 10}s)")
-                }
+                val full = streamDocs
+                val docs =
+                  if (remainingSec > estHalvedSec(full, attemptsFor(corpusCached(full))) * 23 / 20)
+                    full
+                  else halfDocs
+                halvedPair("pair-halved", docs)
               }
             def allThrottled(r: PairRec): Boolean = {
               def bws(s: String) = """"membw_gbs":([0-9.]+)""".r
@@ -995,7 +998,28 @@ object Bench {
             val estStandard = estEnsureSec(streamDocs) +
               estPairSec(baseCpus, streamDocs, attemptsFor(corpusCached(streamDocs)), levelGateCap)
             if (halvedFirst) {
-              tryHalved()
+              // Up to 3 halved pairs while short of target: the run-A
+              // lesson is that a single long pair is one sample of a
+              // drifting throttle (its 2-core level spans ~4 min and
+              // one trough sinks the ratio), while half-docs pairs
+              // are ~110 s per N-level attempt — each pair is far more
+              // likely to be internally consistent, and the budget
+              // buys two of them plus a degraded third. Pair 1 takes
+              // the full corpus only when the budget would still
+              // cover a half-docs retry afterwards.
+              var h = 0
+              var go = true
+              while (go && bestEff < target && h < 3) {
+                h += 1
+                val docs =
+                  if (h == 1 && remainingSec >
+                      (estHalvedSec(streamDocs, attemptsFor(corpusCached(streamDocs))) +
+                        estHalvedSec(halfDocs, attemptsFor(corpusCached(halfDocs)))) * 23 / 20)
+                    streamDocs
+                  else halfDocs
+                go = halvedPair(s"pair-halved$h", docs)
+              }
+              halvedDone = true
               // insurance: a standard pair only if the halved pairing
               // was skipped or came out non-credible/short of target
               // AND the budget still covers it
@@ -1012,10 +1036,9 @@ object Bench {
                   // before spending on another standard pair — the
                   // exact spend-before-reserve inversion that left r4
                   // at 0.755 (skipped: pair2 AND pair-halved)
-                  val docs = halvedDocsPick()
                   val reserve =
                     if (bestEff < target && halvedOk && !halvedDone)
-                      estHalvedSec(docs, attemptsFor(corpusCached(docs)))
+                      estHalvedSec(halfDocs, attemptsFor(corpusCached(halfDocs)))
                     else 0L
                   if (affordable(s"pair$k", estStandard + reserve))
                     timedPair(s"pair$k", baseCpus, streamDocs)
