@@ -731,41 +731,61 @@ object Bench {
             // corpus used within the last 30 min (a live run may be
             // mid-measurement on it — cache hits re-touch _EXPECTED).
             def pruneCache(keep: java.nio.file.Path): Unit = {
+              // size/mtime reads race a CONCURRENT run's eviction
+              // (supported scenario) — a vanished entry must read as
+              // 0/old, never abort this run's whole stream phase
               def size(p: java.nio.file.Path): Long =
-                scala.util.Using.resource(Files.walk(p))(
+                try scala.util.Using.resource(Files.walk(p))(
                   _.iterator().asScala.filter(Files.isRegularFile(_))
-                    .map(Files.size).sum)
+                    .map(f => try Files.size(f) catch { case _: java.io.IOException => 0L })
+                    .sum)
+                catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
               val (tmps, corpora) = scala.util.Using.resource(Files.list(ioRoot))(
                 _.iterator().asScala.filter { p =>
                   val n = p.getFileName.toString
                   (n.startsWith("corpus-v") && p != keep) || n.contains(".tmp-")
                 }.toList).partition(_.getFileName.toString.contains(".tmp-"))
+              def mtimeMs(p: java.nio.file.Path): Long =
+                try Files.getLastModifiedTime(p).toMillis
+                catch { case _: java.io.IOException => Long.MaxValue }
+              def safeRm(p: java.nio.file.Path): Unit =
+                try rmTree(p)
+                catch {
+                  case e @ (_: java.io.IOException | _: java.io.UncheckedIOException) =>
+                    System.err.println(s"[bench] prune of $p lost a race: $e")
+                }
               tmps.foreach { p =>
                 val owner = """\.tmp-(\d+)$""".r
                   .findFirstMatchIn(p.getFileName.toString)
                   .flatMap(m => m.group(1).toLongOption)
                 val ownerAlive = owner.exists(pid => ProcessHandle.of(pid).isPresent)
-                // no parseable pid → fall back to an mtime age check
-                val staleAnyway = owner.isEmpty &&
-                  Files.getLastModifiedTime(p).toMillis <
-                    System.currentTimeMillis() - 3600000L
-                if (!ownerAlive && (owner.nonEmpty || staleAnyway)) {
+                // the mtime fallback applies to parseable pids too: a
+                // recycled pid (dead synth's pid now owned by some
+                // long-lived process) must not pin a dead multi-GB
+                // tmpfs dir forever
+                val stale = mtimeMs(p) < System.currentTimeMillis() - 3600000L
+                if ((!ownerAlive && owner.nonEmpty) || stale) {
                   System.err.println(s"[bench] removing dead straggler: $p")
-                  rmTree(p)
+                  safeRm(p)
                 }
               }
               def lastUsedMs(p: java.nio.file.Path): Long = {
                 val marker = p.resolve("_EXPECTED")
-                Files.getLastModifiedTime(
-                  if (Files.exists(marker)) marker else p).toMillis
+                mtimeMs(if (Files.exists(marker)) marker else p)
               }
-              var total = corpora.map(size).sum
-              for (p <- corpora.sortBy(lastUsedMs)
+              // walk each tree once; tmp stragglers that survived the
+              // pass above count toward the bound too (a dead dir the
+              // liveness check cannot reclaim yet must not be
+              // invisible to it)
+              val sized = (corpora ++ tmps.filter(Files.exists(_)))
+                .map(p => (p, size(p), lastUsedMs(p)))
+              var total = sized.map(_._2).sum
+              for ((p, sz, used) <- sized.sortBy(_._3)
                    if total > 16L * 1024 * 1024 * 1024 &&
-                     lastUsedMs(p) < System.currentTimeMillis() - 1800000L) {
+                     used < System.currentTimeMillis() - 1800000L) {
                 System.err.println(s"[bench] evicting cached corpus: $p")
-                total -= size(p)
-                rmTree(p)
+                total -= sz
+                safeRm(p)
               }
             }
 
@@ -951,9 +971,16 @@ object Bench {
               * goes — but a measured pair beats a skipped one).
               * Returns whether it ran. */
             def fallbackPair(tag: String, cN: Int, docs: Long): Boolean = {
-              val att = attemptsFor(corpusCached(docs))
+              // fallback pairs prefer best-of-2 per level regardless of
+              // cache state (the cold-corpus=1-attempt default exists
+              // because FULL-corpus synthesis eats the budget; a
+              // reduced-docs pair is short enough that the attempt-2
+              // trough insurance is usually affordable even after a
+              // fresh synth)
+              val att = math.max(attemptsFor(corpusCached(docs)),
+                if (sys.env.contains("SPARK_GRAFT_ATTEMPTS")) 1 else 2)
               if (remainingSec > estFallbackSec(cN, docs, att) * 11 / 10) {
-                timedPair(tag, cN, docs); true
+                timedPair(tag, cN, docs, attempts = Some(att)); true
               } else if (att > 1 && remainingSec > estFallbackSec(cN, docs, 1) * 11 / 10) {
                 System.err.println(s"[bench budget] $tag degraded to 1 attempt/level")
                 timedPair(tag, cN, docs, attempts = Some(1)); true
@@ -1002,7 +1029,11 @@ object Bench {
               s""""mode":"${if (halvedFirst) "halved-first" else "standard-first"}"}"""
             System.err.println(f"[bench plan] membw=$probeBw%.1fGB/s throttled=$throttled " +
               s"mode=${if (halvedFirst) "halved-first" else "standard-first"}")
-            val estStandard = estEnsureSec(streamDocs) +
+            // def, not val: ladder rungs change the cache state this
+            // estimate reads (rung 1 may synthesize the full corpus;
+            // pruneCache may evict it) — price the insurance pair at
+            // its call site, not at plan time
+            def estStandard: Long = estEnsureSec(streamDocs) +
               estPairSec(baseCpus, streamDocs, attemptsFor(corpusCached(streamDocs)), levelGateCap)
             if (halvedFirst) {
               // Descending fallback ladder, up to 3 pairs while short
@@ -1022,8 +1053,7 @@ object Bench {
               // on one shared input per pair; cpus_n/docs ride in the
               // artifact per pair.
               var h = 0
-              var go = true
-              while (go && bestEff < target && h < 3) {
+              while (bestEff < target && h < 3) {
                 h += 1
                 val (cN, docs, tag) =
                   if (h == 1)
@@ -1037,7 +1067,10 @@ object Bench {
                   else if (baseCpus >= 4)
                     (baseCpus / 4, quarterDocs, s"pair-quarter$h")
                   else (baseCpus / 2, halfDocs, s"pair-halved$h")
-                go = fallbackPair(tag, cN, docs)
+                // a rung skipped on budget must NOT end a DESCENDING
+                // ladder — the next rung is cheaper and may still fit
+                // (only the h<3 bound and the target end the loop)
+                fallbackPair(tag, cN, docs)
               }
               halvedDone = true
               // insurance: a standard pair only if the halved pairing

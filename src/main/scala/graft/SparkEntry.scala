@@ -384,12 +384,14 @@ object SparkEntry {
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // every row's status re-derived independently by DuckDB from the
     // exported poisoned rows (reference errs/errors.go taxonomy as
-    // data); per-status counts + ordered digest of each class
+    // data); per-status counts + ordered digest of each class. The
+    // vocab bound interpolates from TokenCodec so the two sides
+    // cannot drift if the constant ever changes.
     "dead_letter" ->
-      """WITH c AS (SELECT doc_id, n_tok,
+      s"""WITH c AS (SELECT doc_id, n_tok,
         |    CASE WHEN tokens IS NULL OR len(tokens) = 0 THEN 'empty_payload'
         |         WHEN len(tokens) <> n_tok THEN 'bad_token_count'
-        |         WHEN len(list_filter(tokens, t -> t < 0 OR t >= 32768)) > 0
+        |         WHEN len(list_filter(tokens, t -> t < 0 OR t >= ${graft.model.TokenCodec.VOCAB})) > 0
         |           THEN 'token_out_of_range'
         |         ELSE 'ok' END AS status
         |  FROM read_parquet('{GRAFT_OUT}/.oracle_tables/dl_rows/*.parquet'))

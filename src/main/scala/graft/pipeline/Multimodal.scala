@@ -59,7 +59,10 @@ object Multimodal {
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, w, h, rgb, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // write() returns false (empty payload!) when no writer is
+    // registered (e.g. a jlink'd runtime without the codec) — fail at
+    // the encode site with the real reason
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG ImageWriter registered")
     bos.toByteArray
   }
 
@@ -89,7 +92,7 @@ object Multimodal {
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, w, h, rgb, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    require(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG ImageWriter registered")
     bos.toByteArray
   }
 
@@ -224,18 +227,23 @@ object Multimodal {
       while (pos + 8 <= payload.length) {
         val id = new String(payload, pos, 4, "US-ASCII")
         val len = bb.getInt(pos + 4)
-        require(len >= 0, s"malformed AVI chunk '$id' length $len")
-        if (id == "LIST" && len >= 4 && pos + 12 <= payload.length &&
+        // upper bound too: a huge corrupt length would overflow the
+        // position arithmetic into a negative index and surface as
+        // StringIndexOutOfBounds instead of this contract's error
+        require(len >= 0 && len <= payload.length - (pos + 8),
+          s"malformed AVI chunk '$id' length $len")
+        if (id == "LIST" && len >= 4 &&
             new String(payload, pos + 8, 4, "US-ASCII") == "movi") {
           var p = pos + 12
-          val end = math.min(pos + 8 + len, payload.length)
+          val end = pos + 8 + len
           while (p + 8 <= end) {
             val cid = new String(payload, p, 4, "US-ASCII")
             val clen = bb.getInt(p + 4)
-            require(clen >= 0, s"malformed AVI chunk '$cid' length $clen")
+            require(clen >= 0 && clen <= end - (p + 8),
+              s"malformed AVI chunk '$cid' length $clen")
             if (cid.endsWith("dc")) {
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-                payload, p + 8, math.min(clen, end - (p + 8))))
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload, p + 8, clen))
               require(img != null, "imageio could not decode AVI frame")
               out += luma(img)
             }
@@ -264,9 +272,11 @@ object Multimodal {
         val len = bb.getInt(pos + 4)
         // a corrupt negative length would stall the walk (len = -8
         // advances by 0) or, on the data chunk itself, turn into a
-        // negative sample count (ADVICE r4) — fail fast for EVERY
+        // negative sample count (ADVICE r4); a huge one would
+        // overflow the position arithmetic — fail fast for EVERY
         // chunk, like every other malformed input
-        require(len >= 0, s"malformed WAV chunk '$id' length $len")
+        require(len >= 0 && len <= payload.length - (pos + 8),
+          s"malformed WAV chunk '$id' length $len")
         if (id == "data") { dataOff = pos + 8; dataLen = len }
         else pos += 8 + len + (len & 1)
       }

@@ -558,7 +558,10 @@ object TokenEngine {
     * the build attribute it matched), so a dropped or doubled match
     * cannot hash-match; SkewSpec pins the replicate-side plan. */
   def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsFor(spark, dir)
+    // project BEFORE the join: the multi-KB tokens array contributes
+    // nothing to the aggregates and must not ride the (source, salt)
+    // shuffle or the 16× build replication
+    val docs = docsFor(spark, dir).select(col("doc_id"), col("source"), col("n_tok"))
     val build = docs.groupBy(col("source")).agg(max(col("n_tok")).as("src_max"))
     graft.queries.Skew.saltedJoin(docs, build, "source", col("doc_id"), nSalts = 16)
       .groupBy(col("source"))

@@ -140,7 +140,9 @@ final class ResultTable(val root: String) {
     * read Iceberg pays. Note: the seq-prefixed name format is not
     * readable by (and does not read) the pre-seq `<key>.json` format;
     * tables are not carried across that change — a legacy commit name
-    * is skipped with the unparseable-name warning. */
+    * makes every read fail hard with the migration hint (see
+    * [[commitEntries]]; silently skipping it would hide committed
+    * data). */
   def isCommitted(queryId: String, batchId: Long): Boolean =
     commitEntries().exists(_.key == s"$queryId-$batchId")
 
@@ -251,7 +253,9 @@ final class ResultTable(val root: String) {
    * The foreachBatch writer. Commit-epoch dedup: a batchId already in
    * the log is skipped entirely (replay after checkpoint recovery).
    * Data files are written BEFORE the commit file; a crash between the
-   * two leaves invisible orphans (cleaned by re-commit overwrite), so
+   * two leaves an invisible orphan attempt dir (never referenced by a
+   * manifest — the replay writes a fresh attempt dir; reclamation is
+   * maintenance scope, Iceberg's `remove_orphan_files` analog), so
    * readers never observe a partial batch.
    *
    * The commit itself is a filesystem CAS on the monotonic seq: the
