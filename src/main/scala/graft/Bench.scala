@@ -596,6 +596,28 @@ object Bench {
       // bandwidth + steal sampled around the whole query block ride in
       // the JSON as `query_env` so a degraded host window is visible
       // in the artifact instead of masquerading as a slow engine
+      // Untimed tiny-scale warm pass (same trick as the stream levels'
+      // warmup corpus): run every picked query once at the smallest SF
+      // so rep 1 at the measured SF pays data, not JIT/codegen — the
+      // cold first rep was 300-440 s of the queries phase in throttled
+      // windows (~10× the warm sum), and every second saved here funds
+      // the stream phase's fallback ladder. Skipped when the measured
+      // SF already is the smallest.
+      val warmSfDir = "/root/testdata/sf0.001"
+      if (!sys.env.contains("SPARK_GRAFT_NO_QUERY_WARM") &&
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmSfDir)) &&
+          TokenEngine.scaleOf(sfDir) > TokenEngine.scaleOf(warmSfDir)) {
+        val tw0 = System.nanoTime()
+        picked.foreach { case (_, fn) =>
+          try fn(spark, warmSfDir).queryExecution.toRdd.count()
+          catch { case _: Throwable => () }
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.err.println(
+          f"[bench query-warm] wall=${(System.nanoTime() - tw0) / 1e9}%.1fs")
+      }
       val (_, qWaited) = quietGate("queries", maxThisGate = queryGateCap)
       val bwBefore = memBwProbe()
       val (qSteal0, qTotal0) = cpuJiffies()
