@@ -937,9 +937,18 @@ object Bench {
             // and the level's gate cap. Synthesis ≈ docs/16k-docs-per-
             // sec + fork startup (measured ~6 min at 6.4M docs).
             val rowsPerDoc = 3L // 18,816,964 rows / 6,400,000 docs ≈ 2.94
+            // per-core sustained rate in the throttled band, measured
+            // across the r5 series (1c: 62-75k, 2c: 55-80k, 4c:
+            // 50-64k, 8c: 45-57k, 16c: ~30k rows/s/core): linear
+            // per-core decay floored at the old flat-40k conservative
+            // model — a flat 40k over-priced 1-2-core levels by ~35%
+            // and skipped third ladder rungs that fit (runs L/N
+            // missed rung 3 by 12-30 s against actual costs ~100 s
+            // under the flat estimate)
+            def ratePerCore(c: Int): Long = math.max(40000L, 60000L - 1500L * c)
             def estPairSec(cN: Int, docs: Long, attempts: Int, gateSec: Long): Long = {
               val rows = docs * rowsPerDoc
-              def lvl(c: Int) = attempts * rows / (40000L * c) + gateSec + 60L
+              def lvl(c: Int) = attempts * rows / (ratePerCore(c) * c) + gateSec + 60L
               lvl(cN) + lvl(cN * 4)
             }
             def estEnsureSec(docs: Long): Long =
